@@ -1,0 +1,520 @@
+"""Spherical-cap-harmonic x weighted-Laguerre basis model, TPU-native.
+
+Re-design of the reference's default model (models/sphharmlag.py): the 3-D
+basis is
+
+    B_n(z, theta, phi) = e^{-z/2} L_k(z) * K_vm trig(|m| phi) * P_nu(l)^m(cos theta)
+
+with n -> (k, l, m) per the index map at models/sphharmlag.py:79-99, the
+Thebault nu(l) approximation at :101-115, and the cap coordinate transform at
+:324-359.  SIGNED m is passed to the Legendre function exactly as the
+reference does at :141 (P_nu^{-|m|} is recovered through the Gamma-ratio
+connection; see special.lpmv_host for why this matters numerically).
+
+TPU-first structure
+-------------------
+* All per-basis static quantities (k, l, m, nu, K_vm, Gamma-ratio scales)
+  are precomputed index/scale ARRAYS, so the reference's n-loop over scipy
+  special functions (:138-144) becomes one gather-and-multiply.
+* P_nu^m evaluation happens through host-built Chebyshev tables evaluated on
+  device as a single matmul (tables.py) — float64 for the fit path; the
+  dense-grid float32 Pallas kernel reuses the same tables (ops/grid_eval.py).
+* Regularization matrices exploit separability (tex:310-315): three small
+  1-D integral tables combined by outer products, instead of the reference's
+  O(nbasis^2) adaptive triple quadratures (:188-239).  Mode 'quad' computes
+  the 1-D tables with host scipy.integrate.quad and is numerically IDENTICAL
+  to the reference (same integrands, same adaptive rule — including its
+  pathological behaviour on the divergent curvature z-integral, see
+  docs/PARITY_NOTES.md); mode 'gauss' uses fixed Gauss rules.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import Config
+from ..constants import RE
+from .. import coords, special
+from ..tables import build_legendre_tables, nu_of_l
+from ..quadrature import (
+    composite_legendre,
+    gauss_laguerre,
+    gauss_legendre,
+    geometric_panels,
+)
+
+
+class Model:
+    """Drop-in Model class fulfilling the reference plugin contract."""
+
+    def __init__(self, config_file):
+        if isinstance(config_file, Config):
+            cfg = config_file
+        else:
+            cfg = Config.from_file(config_file)
+        self.config = cfg
+
+        self.maxk = cfg.model.maxk
+        self.maxl = cfg.model.maxl
+        self.latcp = cfg.model.latcp
+        self.loncp = cfg.model.loncp
+        self.cap_lim = cfg.model.cap_lim * np.pi / 180.0  # radians
+        self.max_z_int = cfg.model.max_z_int
+        self.nbasis = self.maxk * self.maxl**2
+
+        self._quad_mode = cfg.tpu.quad_mode
+        self._build_index_tables()
+        self.tables = build_legendre_tables(
+            self.maxl,
+            self.cap_lim,
+            tol=cfg.tpu.table_tol,
+            domain_factor=cfg.tpu.table_domain_factor,
+        )
+
+        # reference attribute name kept verbatim (sphharmlag.py:62), with a
+        # correctly-spelled alias
+        self.eval_reg_matricies = {
+            "curvature": self.eval_omega,
+            "0thorder": self.eval_psi,
+        }
+        self.eval_reg_matrices = self.eval_reg_matricies
+
+    # ------------------------------------------------------------------
+    # static index / scale tables
+    # ------------------------------------------------------------------
+
+    def _build_index_tables(self):
+        import scipy.special as sp
+
+        n = np.arange(self.nbasis)
+        k = n // (self.maxl**2)
+        r = n % (self.maxl**2)
+        l = np.floor(np.sqrt(r)).astype(np.int64)
+        m = r - l * (l + 1)  # signed, in [-l, l]
+        mbar = np.abs(m)
+        nu = nu_of_l(l, self.cap_lim)
+
+        # K_vm (sphharmlag.py:305-321), computed on host in log space
+        kvm = np.sqrt(
+            (2.0 * nu + 1.0)
+            / (4.0 * np.pi)
+            * np.exp(sp.gammaln(nu - mbar + 1.0) - sp.gammaln(nu + mbar + 1.0))
+        )
+        kvm = np.where(mbar != 0, kvm * np.sqrt(2.0), kvm)
+
+        # P_nu^{-mbar} = (-1)^mbar G(nu-mbar+1)/G(nu+mbar+1) P_nu^{+mbar}
+        def negm_scale(nu_arr):
+            ratio = np.exp(
+                sp.gammaln(nu_arr - mbar + 1.0) - sp.gammaln(nu_arr + mbar + 1.0)
+            )
+            return np.where(m < 0, ((-1.0) ** mbar) * ratio, 1.0)
+
+        self._k = k
+        self._l = l
+        self._m = m
+        self._mbar = mbar
+        self._nu = nu
+        self._kvm = kvm
+        self._negm_scale = negm_scale(nu)  # for degree nu
+        self._negm_scale_p1 = negm_scale(nu + 1.0)  # for degree nu + 1
+        # table column per n, degree shifts -1 / 0 / +1
+        pair = l * (l + 1) // 2 + mbar
+        self._col_m1 = 3 * pair + 0
+        self._col_0 = 3 * pair + 1
+        self._col_p1 = 3 * pair + 2
+        self._is_cos = (m >= 0).astype(np.float64)
+
+        # device copies
+        self._d_k = jnp.asarray(k)
+        self._d_mbar = jnp.asarray(mbar)
+        self._d_col_0 = jnp.asarray(self._col_0)
+        self._d_col_p1 = jnp.asarray(self._col_p1)
+        self._d_scale = jnp.asarray(kvm * self._negm_scale)  # Az * neg-m fold
+        self._d_negm = jnp.asarray(self._negm_scale)
+        self._d_negm_p1 = jnp.asarray(self._negm_scale_p1)
+        self._d_kvm = jnp.asarray(kvm)
+        self._d_is_cos = jnp.asarray(self._is_cos)
+        self._d_m = jnp.asarray(m.astype(np.float64))
+        self._d_nu = jnp.asarray(nu)
+
+    # ------------------------------------------------------------------
+    # reference-parity helpers (sphharmlag.py:79-115, 263-321)
+    # ------------------------------------------------------------------
+
+    def basis_numbers(self, n):
+        k = n // (self.maxl**2)
+        r = n % (self.maxl**2)
+        l = np.floor(np.sqrt(r))
+        m = r - l * (l + 1)
+        return k, l, m
+
+    def nu(self, n):
+        _, l, _ = self.basis_numbers(n)
+        return (2 * l + 0.5) * np.pi / (2 * self.cap_lim) - 0.5
+
+    def Az(self, v, m, phi):
+        if m < 0:
+            return self.Kvm(v, abs(m)) * jnp.sin(abs(m) * jnp.asarray(phi))
+        return self.Kvm(v, abs(m)) * jnp.cos(abs(m) * jnp.asarray(phi))
+
+    def dAz(self, v, m, phi):
+        if m < 0:
+            return abs(m) * self.Kvm(v, abs(m)) * jnp.cos(abs(m) * jnp.asarray(phi))
+        return -1 * m * self.Kvm(v, abs(m)) * jnp.sin(abs(m) * jnp.asarray(phi))
+
+    def Kvm(self, v, m):
+        return special.kvm(v, int(m))
+
+    def transform_coord(self, gdlat, gdlon, gdalt):
+        """Geodetic -> (z, theta, phi) cap coordinates (sphharmlag.py:324-359)."""
+        return coords.geodetic_to_cap(gdlat, gdlon, gdalt, self.latcp, self.loncp)
+
+    # ------------------------------------------------------------------
+    # design matrix
+    # ------------------------------------------------------------------
+
+    def ensure_theta_domain(self, theta_max_needed: float):
+        """Rebuild the Legendre tables if a larger theta domain is needed."""
+        margin = 1.05 * float(theta_max_needed)
+        if margin > self.tables.theta_max:
+            self.tables = build_legendre_tables(
+                self.maxl,
+                self.cap_lim,
+                theta_max=min(margin, np.pi * 0.95),
+                tol=self.config.tpu.table_tol,
+            )
+
+    def design_from_ztp(self, z, t, p, tables=None):
+        """A[npoints, nbasis] from cap coordinates.  jit-safe.
+
+        Core of the basis: one Chebyshev matmul for all Legendre functions,
+        Laguerre recurrence for the radial part, trig gathers for phi.
+        """
+        tbl = self.tables if tables is None else tables
+        z = jnp.asarray(z).ravel()
+        t = jnp.asarray(t).ravel()
+        p = jnp.asarray(p).ravel()
+
+        P = tbl.eval_all(t)  # [pts, 3*npairs]
+        Pn = P[:, self._d_col_0] * self._d_negm[None, :]  # [pts, nbasis]
+
+        lag = special.laguerre_all(self.maxk - 1, z)  # [pts, maxk]
+        radial = jnp.exp(-0.5 * z)[:, None] * lag
+
+        mb = jnp.arange(self.maxl, dtype=z.dtype)
+        cosm = jnp.cos(p[:, None] * mb[None, :])  # [pts, maxl]
+        sinm = jnp.sin(p[:, None] * mb[None, :])
+        trig = (
+            cosm[:, self._d_mbar] * self._d_is_cos[None, :]
+            + sinm[:, self._d_mbar] * (1.0 - self._d_is_cos)[None, :]
+        )
+
+        return radial[:, self._d_k] * (self._d_kvm[None, :] * trig) * Pn
+
+    def basis(self, gdlat, gdlon, gdalt):
+        """A[..., nbasis] at geodetic points (reference sphharmlag.py:118-145).
+
+        Shape-preserving over arbitrary input dimensionality, like the
+        reference's reshape/transpose dance at :142-145.
+        """
+        gdlat = jnp.asarray(gdlat)
+        shape = gdlat.shape
+        z, t, p = self.transform_coord(
+            gdlat.ravel(), jnp.asarray(gdlon).ravel(), jnp.asarray(gdalt).ravel()
+        )
+        self._check_domain(t)
+        A = self.design_from_ztp(z, t, p)
+        return A.reshape(shape + (self.nbasis,))
+
+    def _check_domain(self, t):
+        """Eagerly widen tables when called outside jit with concrete values."""
+        try:
+            tmax = float(jnp.max(t))
+        except (TypeError, jnp.linalg.LinAlgError, Exception):
+            return
+        if np.isfinite(tmax):
+            self.ensure_theta_domain(tmax)
+
+    def grad_basis(self, gdlat, gdlon, gdalt):
+        """Gradient of each basis function (reference sphharmlag.py:148-184).
+
+        Returns shape [..., 3, nbasis] with components (z-hat, theta-hat,
+        phi-hat) in cap coordinates — matching np.array(Ag).T for 1-D input.
+        The reference's stale commented-out evaluation path (estimate.py:
+        125-147) is implemented for real in Estimate via these gradients.
+        """
+        gdlat = jnp.asarray(gdlat)
+        shape = gdlat.shape
+        z, t, p = self.transform_coord(
+            gdlat.ravel(), jnp.asarray(gdlon).ravel(), jnp.asarray(gdalt).ravel()
+        )
+        self._check_domain(t)
+
+        x = jnp.cos(t)
+        y = jnp.sin(t)
+        e = jnp.exp(-0.5 * z)
+
+        P = self.tables.eval_all(t)
+        Pmv = P[:, self._d_col_0] * self._d_negm[None, :]
+        Pmv1 = P[:, self._d_col_p1] * self._d_negm_p1[None, :]
+
+        lag0 = special.laguerre_all(self.maxk - 1, z)  # L_k
+        # L^1_{k-1}: index k-1 of generalized table; L^1_{-1} = 0
+        lag1_tbl = special.laguerre_all(max(self.maxk - 2, 0), z, alpha=1.0)
+        zero = jnp.zeros_like(z)[:, None]
+        lag1_full = jnp.concatenate([zero, lag1_tbl], axis=-1)  # index by k
+        L0 = lag0[:, self._d_k]
+        L1 = lag1_full[:, self._d_k]
+
+        mb = jnp.arange(self.maxl, dtype=z.dtype)
+        cosm = jnp.cos(p[:, None] * mb[None, :])
+        sinm = jnp.sin(p[:, None] * mb[None, :])
+        trig = (
+            cosm[:, self._d_mbar] * self._d_is_cos[None, :]
+            + sinm[:, self._d_mbar] * (1.0 - self._d_is_cos)[None, :]
+        )
+        dtrig = (
+            -self._d_m[None, :] * sinm[:, self._d_mbar] * self._d_is_cos[None, :]
+            + self._d_mbar.astype(z.dtype)[None, :]
+            * cosm[:, self._d_mbar]
+            * (1.0 - self._d_is_cos)[None, :]
+        )
+        A_az = self._d_kvm[None, :] * trig
+        dA_az = self._d_kvm[None, :] * dtrig
+
+        v = self._d_nu[None, :]
+        msgn = self._d_m[None, :]
+        denom = (y * (z / 100.0 + 1.0) * RE)[:, None]
+
+        zhat = -0.5 * e[:, None] * (L0 + 2.0 * L1) * Pmv * A_az * 100.0 / RE
+        that = (
+            e[:, None]
+            * L0
+            * (-(v + 1.0) * x[:, None] * Pmv + (v - msgn + 1.0) * Pmv1)
+            * A_az
+            / denom
+        )
+        phat = e[:, None] * L0 * Pmv * dA_az / denom
+
+        G = jnp.stack([zhat, that, phat], axis=-2)  # [pts, 3, nbasis]
+        return G.reshape(shape + (3, self.nbasis))
+
+    # ------------------------------------------------------------------
+    # regularization matrices (separable 1-D integral tables)
+    # ------------------------------------------------------------------
+
+    def _signed_lpmv_host(self, m, v, x, reference_exact):
+        """Host Legendre seed for integrand tables.
+
+        reference_exact=True reproduces scipy.special.lpmv verbatim
+        (including its negative-m underflow-to-zero at large nu, which the
+        reference inherits at models/sphharmlag.py:205,231); otherwise the
+        accurate Gamma-ratio path is used.
+        """
+        import scipy.special as sp
+
+        if reference_exact:
+            return sp.lpmv(m, v, x)
+        return special.lpmv_host(m, v, x)
+
+    def _horizontal_indices(self):
+        """Unique horizontal index j = l*maxl + (m+l)? No — (l, m) pairs in
+        basis order for one k-slab: j = l(l+1)+m in [0, maxl^2)."""
+        l = self._l[: self.maxl**2]
+        m = self._m[: self.maxl**2]
+        nu = self._nu[: self.maxl**2]
+        return l, m, nu
+
+    def _iz_table(self, power: int) -> np.ndarray:
+        """Iz[ki, kj] = int e^{-z} L_ki L_kj z^power dz over (0, max_z_int)."""
+        import scipy.integrate
+        import scipy.special as sp
+        import warnings
+
+        K = self.maxk
+        iz = np.zeros((K, K))
+        if self._quad_mode == "quad":
+            for ki in range(K):
+                for kj in range(ki, K):
+                    f = lambda zz: (
+                        np.exp(-zz)
+                        * sp.eval_laguerre(ki, zz)
+                        * sp.eval_laguerre(kj, zz)
+                        * zz**power
+                    )
+                    with warnings.catch_warnings():
+                        warnings.simplefilter("ignore")
+                        val = scipy.integrate.quad(f, 0.0, self.max_z_int)[0]
+                    iz[ki, kj] = iz[kj, ki] = val
+            return iz
+        # gauss mode
+        if math.isinf(self.max_z_int):
+            zq, wq = gauss_laguerre(2 * K + 8)  # weight e^{-z} folded in
+            lagv = np.stack(
+                [np.polynomial.laguerre.lagval(zq, np.eye(K)[k]) for k in range(K)]
+            )
+            zp = zq.astype(np.float64) ** power
+            iz = np.einsum("q,iq,jq,q->ij", wq, lagv, lagv, zp)
+        else:
+            zq, wq = gauss_legendre(128, 0.0, self.max_z_int)
+            lagv = np.stack(
+                [np.polynomial.laguerre.lagval(zq, np.eye(K)[k]) for k in range(K)]
+            )
+            iz = np.einsum(
+                "q,iq,jq,q->ij", wq * np.exp(-zq), lagv, lagv, zq**power
+            )
+        return iz
+
+    def _az_host(self, v, m, phi):
+        import scipy.special as sp
+
+        kv = np.sqrt(
+            (2.0 * v + 1.0)
+            / (4.0 * np.pi)
+            * np.exp(sp.gammaln(v - abs(m) + 1.0) - sp.gammaln(v + abs(m) + 1.0))
+        )
+        if m != 0:
+            kv = kv * np.sqrt(2.0)
+        return kv * (np.sin(abs(m) * phi) if m < 0 else np.cos(abs(m) * phi))
+
+    def _ip_table(self) -> np.ndarray:
+        """Ip[j, j'] = int_0^{2pi} Az_i Az_j dphi (analytic in gauss mode)."""
+        import scipy.integrate
+
+        l, m, nu = self._horizontal_indices()
+        J = self.maxl**2
+        ip = np.zeros((J, J))
+        if self._quad_mode == "quad":
+            for i in range(J):
+                for j in range(i, J):
+                    f = lambda pp: self._az_host(nu[i], m[i], pp) * self._az_host(
+                        nu[j], m[j], pp
+                    )
+                    val = scipy.integrate.quad(f, 0.0, 2.0 * np.pi)[0]
+                    ip[i, j] = ip[j, i] = val
+            return ip
+        # analytic: orthogonality of cos/sin over the full period
+        import scipy.special as sp
+
+        kv = np.sqrt(
+            (2.0 * nu + 1.0)
+            / (4.0 * np.pi)
+            * np.exp(sp.gammaln(nu - np.abs(m) + 1.0) - sp.gammaln(nu + np.abs(m) + 1.0))
+        )
+        kv = np.where(m != 0, kv * np.sqrt(2.0), kv)
+        same = (m[:, None] == m[None, :]).astype(np.float64)
+        fac = np.where(m == 0, 2.0 * np.pi, np.pi)
+        ip = same * kv[:, None] * kv[None, :] * fac[None, :]
+        return ip
+
+    def _omega_t_integrand_host(self, theta, l, m, nu, reference_exact):
+        """The Legendre combination of the curvature theta-integrand for one
+        (l, m): -nu(nu cos^2 + nu + 1) P_nu^m + nu(nu+m) cos P_{nu-1}^m
+        + nu(nu-m+1) cos P_{nu+1}^m   (models/sphharmlag.py:205)."""
+        x = np.cos(theta)
+        P0 = self._signed_lpmv_host(m, nu, x, reference_exact)
+        Pm = self._signed_lpmv_host(m, nu - 1.0, x, reference_exact)
+        Pp = self._signed_lpmv_host(m, nu + 1.0, x, reference_exact)
+        return (
+            -nu * (nu * x**2 + nu + 1.0) * P0
+            + nu * (nu + m) * x * Pm
+            + nu * (nu - m + 1.0) * x * Pp
+        )
+
+    def _it_table(self, kind: str) -> np.ndarray:
+        """It[j, j'] theta-integral table.  kind in {'omega', 'psi'}."""
+        import scipy.integrate
+
+        l, m, nu = self._horizontal_indices()
+        J = self.maxl**2
+        it = np.zeros((J, J))
+        ref_exact = self._quad_mode == "quad"
+
+        if self._quad_mode == "quad":
+            for i in range(J):
+                for j in range(i, J):
+                    if kind == "psi":
+                        f = lambda tt: (
+                            self._signed_lpmv_host(m[i], nu[i], np.cos(tt), True)
+                            * self._signed_lpmv_host(m[j], nu[j], np.cos(tt), True)
+                            * np.sin(tt)
+                        )
+                    else:
+                        f = lambda tt: (
+                            self._omega_t_integrand_host(tt, l[i], m[i], nu[i], True)
+                            * self._omega_t_integrand_host(tt, l[j], m[j], nu[j], True)
+                            / np.sin(tt) ** 3
+                        )
+                    val = scipy.integrate.quad(f, 0.0, self.cap_lim)[0]
+                    it[i, j] = it[j, i] = val
+            return it
+
+        # gauss mode: composite rules; values from accurate host seeds
+        if kind == "psi":
+            tq, wq = composite_legendre(
+                geometric_panels(0.0, self.cap_lim, n_panels=3), 64
+            )
+            vals = np.stack(
+                [
+                    self._signed_lpmv_host(m[i], nu[i], np.cos(tq), False)
+                    for i in range(J)
+                ]
+            )
+            it = np.einsum("q,iq,jq->ij", wq * np.sin(tq), vals, vals)
+        else:
+            tq, wq = composite_legendre(
+                geometric_panels(0.0, self.cap_lim, n_panels=8), 64
+            )
+            vals = np.stack(
+                [
+                    self._omega_t_integrand_host(tq, l[i], m[i], nu[i], False)
+                    for i in range(J)
+                ]
+            )
+            it = np.einsum("q,iq,jq->ij", wq / np.sin(tq) ** 3, vals, vals)
+        return it
+
+    def _assemble(self, iz: np.ndarray, ih: np.ndarray) -> jnp.ndarray:
+        """Omega/Psi[n, n'] = Iz[k, k'] * Ih[j, j'] via outer gathers."""
+        k = self._k
+        j = self._l * (self._l + 1) + self._m
+        M = iz[np.ix_(k, k)] * ih[np.ix_(j, j)]
+        return jnp.asarray(M)
+
+    def eval_omega(self):
+        """Curvature regularization matrix (reference sphharmlag.py:188-212)."""
+        iz = self._iz_table(power=-2)
+        it = self._it_table("omega")
+        ip = self._ip_table()
+        return self._assemble(iz, it * ip)
+
+    def eval_psi(self):
+        """0th-order regularization matrix (reference sphharmlag.py:215-239)."""
+        iz = self._iz_table(power=2)
+        it = self._it_table("psi")
+        ip = self._ip_table()
+        return self._assemble(iz, it * ip)
+
+    def eval_tau(self, reg_func):
+        """Tau vector for data-informed 0th-order regularization
+        (reference sphharmlag.py:241-259; unused by the default pipeline)."""
+        import scipy.integrate
+        import scipy.special as sp
+
+        tau = np.zeros((self.nbasis, 1))
+        for n in range(self.nbasis):
+            k, l, m = int(self._k[n]), int(self._l[n]), int(self._m[n])
+            v = float(self._nu[n])
+            z_int = lambda zz: (
+                np.exp(-0.5 * zz) * sp.eval_laguerre(k, zz) * reg_func(zz) * zz**2
+            )
+            t_int = lambda tt: sp.lpmv(m, v, np.cos(tt)) * np.sin(tt)
+            p_int = lambda pp: self._az_host(v, m, pp)
+            Iz = scipy.integrate.quad(z_int, 0.0, self.max_z_int)
+            It = scipy.integrate.quad(t_int, 0.0, self.cap_lim)
+            Ip = scipy.integrate.quad(p_int, 0.0, 2.0 * np.pi)
+            tau[n] = Iz[0] * It[0] * Ip[0]
+        return jnp.asarray(tau)
