@@ -1,0 +1,63 @@
+"""Test configuration: run JAX on 8 virtual CPU devices, float64 enabled.
+
+Environment variables must be set before jax is first imported anywhere, so
+this conftest performs the setup at collection time (SURVEY.md section 4,
+item 4: mesh-sharded code is testable without a TPU via
+--xla_force_host_platform_device_count).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The axon environment force-registers the TPU plugin from sitecustomize (jax
+# is already imported by the time any conftest runs), so selecting the test
+# platform must go through jax.config rather than JAX_PLATFORMS.
+if os.environ.get("VITPU_TESTS_ON_TPU", "0") != "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def small_config_text():
+    """A small sphharmlag configuration (fast tests): nbasis = 2*3^2 = 18."""
+    return """
+[DEFAULT]
+PARAM = dens
+FILENAME = test_input.h5
+OUTPUTFILENAME = test_output.h5
+REGULARIZATION_LIST = 0thorder
+REGULARIZATION_METHOD = chi2
+ERRLIM = 1e10,1e13
+GOODFITCODE = 1,2,3,4
+CHI2LIM = 0.1,10
+
+[MODEL]
+NAME = sphharmlag
+MAXK = 2
+MAXL = 3
+CAP_LIM = 10
+MAX_Z_INT = INF
+LATCP = 78
+LONCP = 262
+
+[VALIDATE]
+STARTTIME = 2016-11-27T22:45:00
+ENDTIME = 2016-11-27T22:50:00
+ALTITUDES = 250.0,300.0
+COLORLIM = 0.0,5.0e11
+OUTPNGNAME = test_fig.png
+"""

@@ -67,11 +67,27 @@ class Model:
 
         self._quad_mode = cfg.tpu.quad_mode
         self._build_index_tables()
+        # Default theta domain for the Legendre tables.  NOTE a reference
+        # quirk (docs/PARITY_NOTES.md #1): transform_coord rotates by +theta0
+        # (sphharmlag.py:353), which maps the cap CENTER to colatitude
+        # 2*theta0 rather than to the pole, so data colatitudes cluster
+        # around 2*theta0 — far outside cap_lim.  We reproduce the rotation
+        # verbatim and size the table domain accordingly; basis() widens it
+        # adaptively if points fall beyond.
+        x0, y0, z0 = (
+            np.asarray(v)
+            for v in coords.geodetic2ecef(self.latcp, self.loncp, 0.0)
+        )
+        theta0 = float(np.arccos(z0 / np.sqrt(x0**2 + y0**2 + z0**2)))
+        default_domain = min(
+            2.0 * theta0 + cfg.tpu.table_domain_factor * self.cap_lim,
+            np.pi * 0.95,
+        )
         self.tables = build_legendre_tables(
             self.maxl,
             self.cap_lim,
+            theta_max=default_domain,
             tol=cfg.tpu.table_tol,
-            domain_factor=cfg.tpu.table_domain_factor,
         )
 
         # reference attribute name kept verbatim (sphharmlag.py:62), with a

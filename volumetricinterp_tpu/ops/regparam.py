@@ -1,0 +1,214 @@
+"""Regularization-parameter selection, batched and jit-safe.
+
+Reproduces the reference's four methods (interpolate.py:97-407) with the
+same decision semantics but TPU-native algorithms:
+
+* chi2  — the reference's scale-factor ladder (0.6..1.0), downward bracket
+  scan over alpha = 0,-1,...,-100 and Brent root find
+  (interpolate.py:152-218) become a STATIC alpha-grid evaluation plus a
+  fixed-count bisection.  Each chi^2(alpha) evaluation costs O(nbasis)
+  thanks to the one-time pencil whitening in ops/solve.py — the reference
+  pays a full scipy lstsq per evaluation (interpolate.py:255).
+* gcv   — the reference's brute-force leave-one-out refit loop
+  (interpolate.py:299-351, O(npoints) refits per objective call) is replaced
+  by the EXACT rank-one-downdate identity
+      loo_resid_i = (yhat_i - b_i) / (1 - h_ii),
+      h_ii = W_i a_i' X^{-1} a_i,
+  which yields identical objective values, evaluated in O(npoints * nbasis).
+  The 1-D Nelder-Mead minimizer from alpha0 = -20 (interpolate.py:287-291)
+  is replicated step-for-step (scipy defaults: initial simplex
+  [-20, -21], rho=1, chi=2, psi=0.5, sigma=0.5, xatol=fatol=1e-4,
+  maxiter=200) so the selected parameter matches scipy's trajectory.
+* manual — hardcoded constants (interpolate.py:353-381).
+* prompt — interactive entry, fixed for python 3 (the reference's
+  raw_input at interpolate.py:403 is python-2-only and raises NameError);
+  handled host-side in the Interpolate driver.
+
+All search routines return log10(alpha) = NaN to signal "no parameter found"
+(the reference's ValueError -> NaN-record path, interpolate.py:142-147,
+557-563).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .solve import whitened_chi2
+
+# reference constants (interpolate.py:173, 199-202)
+SCALE_FACTORS = (0.6, 0.7, 0.8, 0.9, 1.0)
+ALPHA_MIN = -100.0
+N_BISECT = 100
+
+
+def chi2_reg_param(lam, u, btWb, N):
+    """chi2-nu regularization parameter for one record, one reg matrix.
+
+    lam, u: whitened pencil quantities (ops/solve.whiten_pencil); btWb, N:
+    scalars.  Returns the regularization parameter itself (NOT log10):
+    0.0 for the "too smooth" early exit (interpolate.py:189-191), NaN when
+    no bracket exists in (1e-100, 1] for any scale factor
+    (interpolate.py:210-211).
+    """
+    # chi^2 on the static alpha grid 0, -1, ..., -100
+    alphas = -jnp.arange(0.0, -ALPHA_MIN + 1.0, dtype=btWb.dtype)  # [101]
+    chi2_grid = jax.vmap(lambda a: whitened_chi2(10.0**a, lam, u, btWb))(alphas)
+
+    sf = jnp.asarray(SCALE_FACTORS, dtype=btWb.dtype)
+    nus = N * sf  # [5]
+    f_grid = chi2_grid[None, :] - nus[:, None]  # [5, 101]
+
+    too_smooth = f_grid[:, 0] < 0.0  # per sf: chi2(alpha=0) - nu < 0
+    neg = f_grid < 0.0
+    has_bracket = jnp.any(neg[:, 1:], axis=1) & ~too_smooth  # [5]
+
+    event = too_smooth | has_bracket
+    s = jnp.argmax(event)  # first scale factor with an outcome
+    any_event = jnp.any(event)
+
+    is_smooth = too_smooth[s]
+    nu = nus[s]
+    # first grid index with f < 0 for the selected sf (index >= 1 since
+    # f[0] >= 0 when not too_smooth)
+    j = jnp.argmax(neg[s])
+    lo = alphas[j]  # f(lo) < 0
+    hi = alphas[j - 1]  # f(hi) >= 0
+
+    def g(a_log):
+        return whitened_chi2(10.0**a_log, lam, u, btWb) - nu
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        fm = g(mid)
+        lo = jnp.where(fm < 0.0, mid, lo)
+        hi = jnp.where(fm < 0.0, hi, mid)
+        return lo, hi
+
+    lo, hi = lax.fori_loop(0, N_BISECT, body, (lo, hi))
+    root = 0.5 * (lo + hi)
+
+    reg = 10.0**root
+    reg = jnp.where(is_smooth, 0.0, reg)
+    reg = jnp.where(any_event, reg, jnp.nan)
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# GCV via exact LOO identity + scipy-faithful 1-D Nelder-Mead
+# ---------------------------------------------------------------------------
+
+GCV_ALPHA0 = -20.0  # interpolate.py:288
+NM_XATOL = 1e-4
+NM_FATOL = 1e-4
+NM_MAXITER = 200  # scipy default N * 200 for N = 1
+
+
+def gcv_objective(a_log, lam, u, U, b, W, mask):
+    """Sum of weighted squared LOO residuals at reg param 10^a_log.
+
+    U: [nbasis, npoints] = Q' L^{-1} A'; b, W, mask: [npoints].
+    Identical in value to the reference's per-point refit loop
+    (interpolate.py:332-351).
+    """
+    a = 10.0**a_log
+    d = 1.0 / (1.0 + a * lam)  # [nbasis]
+    yhat = U.T @ (d * u)  # [npoints]
+    h = W * jnp.einsum("kp,k,kp->p", U, d, U)
+    r = (yhat - b) / (1.0 - h)
+    r = jnp.where(mask > 0, r, 0.0)
+    return jnp.sum(r * r * jnp.where(mask > 0, W, 0.0))
+
+
+def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER):
+    """scipy.optimize.minimize(method='Nelder-Mead') for 1-D problems,
+    replicated as a lax.while_loop.  Returns (x_best, converged)."""
+    nonzdelt = 0.05
+    zdelt = 0.00025
+    x1 = jnp.where(x0 != 0.0, (1.0 + nonzdelt) * x0, zdelt)
+
+    f0, f1 = f(x0), f(x1)
+    # order: simplex[0] best
+    xs = jnp.where(f0 <= f1, jnp.stack([x0, x1]), jnp.stack([x1, x0]))
+    fs = jnp.where(f0 <= f1, jnp.stack([f0, f1]), jnp.stack([f1, f0]))
+
+    def cond(state):
+        xs, fs, it = state
+        done = (jnp.abs(xs[1] - xs[0]) <= xatol) & (jnp.abs(fs[1] - fs[0]) <= fatol)
+        return (~done) & (it < maxiter)
+
+    def body(state):
+        xs, fs, it = state
+        x0, x1 = xs[0], xs[1]
+        f0, f1 = fs[0], fs[1]
+        xbar = x0
+        xr = 2.0 * xbar - x1
+        fr = f(xr)
+
+        # expansion
+        xe = 3.0 * xbar - 2.0 * x1
+        fe = f(xe)
+        new_x_exp = jnp.where(fe < fr, xe, xr)
+        new_f_exp = jnp.where(fe < fr, fe, fr)
+
+        # contraction (outside if fr < f1, else inside)
+        xc_out = 1.5 * xbar - 0.5 * x1
+        fc_out = f(xc_out)
+        xc_in = 0.5 * xbar + 0.5 * x1
+        fc_in = f(xc_in)
+
+        use_out = fr < f1
+        xc = jnp.where(use_out, xc_out, xc_in)
+        fc = jnp.where(use_out, fc_out, fc_in)
+        accept_c = jnp.where(use_out, fc_out <= fr, fc_in < f1)
+
+        # shrink
+        x_shr = x0 + 0.5 * (x1 - x0)
+        f_shr = f(x_shr)
+
+        expand = fr < f0
+        new_x = jnp.where(
+            expand, new_x_exp, jnp.where(accept_c, xc, x_shr)
+        )
+        new_f = jnp.where(
+            expand, new_f_exp, jnp.where(accept_c, fc, f_shr)
+        )
+
+        xs = jnp.where(new_f < f0, jnp.stack([new_x, x0]), jnp.stack([x0, new_x]))
+        fs = jnp.where(new_f < f0, jnp.stack([new_f, f0]), jnp.stack([f0, new_f]))
+        return xs, fs, it + 1
+
+    xs, fs, it = lax.while_loop(cond, body, (xs, fs, jnp.asarray(0)))
+    converged = (jnp.abs(xs[1] - xs[0]) <= xatol) & (jnp.abs(fs[1] - fs[0]) <= fatol)
+    return xs[0], converged
+
+
+def gcv_reg_param(lam, u, U, b, W, mask):
+    """GCV regularization parameter for one record, one reg matrix.
+
+    NaN when the minimizer fails to converge (interpolate.py:292-293)."""
+    obj = partial(gcv_objective, lam=lam, u=u, U=U, b=b, W=W, mask=mask)
+    x, ok = nelder_mead_1d(lambda a: obj(a), GCV_ALPHA0)
+    reg = 10.0**x
+    return jnp.where(ok, reg, jnp.nan)
+
+
+# ---------------------------------------------------------------------------
+# manual constants (interpolate.py:353-381)
+# ---------------------------------------------------------------------------
+
+MANUAL_PARAMS = {"curvature": 1.0e-28, "0thorder": 1.0e-23}
+
+
+def manual_reg_param(reg_name: str) -> float:
+    if reg_name not in MANUAL_PARAMS:
+        raise ValueError(
+            f"manual regularization has no hardcoded value for {reg_name!r} "
+            "(reference interpolate.py:376-379 covers only 'curvature' and "
+            "'0thorder')"
+        )
+    return MANUAL_PARAMS[reg_name]

@@ -1,0 +1,133 @@
+"""Batched regularized weighted least-squares solver.
+
+TPU-first re-design of the reference fit core (interpolate.py:432-469):
+
+* NaN points are handled by WEIGHT-ZERO MASKING instead of row deletion
+  (interpolate.py:516-520), so every record has the same static shape and the
+  whole record axis vmaps/shards cleanly.
+* The per-record data enters only through sufficient statistics
+  (AtWA, AtWb, btWb, N), computed ONCE per record; the regularization-
+  parameter search (which the reference serves with a full scipy lstsq per
+  objective evaluation, interpolate.py:255,345) operates entirely in
+  coefficient space.
+* For the alpha line-search, a single generalized eigendecomposition of the
+  (AtWA, R) pencil per record turns every subsequent chi^2(alpha) evaluation
+  into an O(nbasis) diagonal expression (see ops/regparam.py).
+* The final solve reproduces scipy.linalg.lstsq/pinv min-norm semantics
+  (interpolate.py:462-466) through a symmetric eigendecomposition with the
+  scipy cutoff rule — exact for the symmetric matrices used here, and far
+  cheaper than SVD on TPU.
+
+All functions are jit-safe, vmap over a leading record axis, and work in
+float64 (required: the normal equations square the design-matrix condition
+number; see SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def suff_stats(A, b, W, mask):
+    """Sufficient statistics of one record's weighted LS problem.
+
+    A: [npoints, nbasis] design matrix (shared across records)
+    b: [npoints] data (NaNs allowed where mask=0)
+    W: [npoints] weights = error^{-2} (NaNs allowed where mask=0)
+    mask: [npoints] 1.0 for valid points
+
+    Returns (AtWA [nb,nb], AtWb [nb], btWb [], N []).
+    """
+    Wm = jnp.where(mask > 0, W, 0.0)
+    bm = jnp.where(mask > 0, b, 0.0)
+    Aw = A * Wm[:, None]
+    AtWA = A.T @ Aw
+    AtWb = Aw.T @ bm
+    btWb = jnp.sum(Wm * bm * bm)
+    N = jnp.sum(mask)
+    return AtWA, AtWb, btWb, N
+
+
+def sym_pinv_apply(X, y, rcond_factor=None):
+    """Min-norm solve C = pinv(X) @ y for symmetric X, plus pinv(X).
+
+    Matches scipy.linalg.lstsq(X, y) / scipy.linalg.pinv(X) semantics
+    (interpolate.py:462-465): eigenvalues with |w| <= cutoff * max|w| are
+    treated as zero.  scipy's default cutoff is max(M,N)*eps for both lstsq
+    (gelsd rcond) and pinv (rtol).
+    """
+    n = X.shape[-1]
+    if rcond_factor is None:
+        rcond_factor = float(n) * float(jnp.finfo(X.dtype).eps)
+    w, V = jnp.linalg.eigh(X)
+    aw = jnp.abs(w)
+    cutoff = rcond_factor * jnp.max(aw, axis=-1, keepdims=True)
+    inv_w = jnp.where(aw > cutoff, 1.0 / w, 0.0)
+    Vty = V.T @ y
+    C = V @ (inv_w * Vty)
+    H = (V * inv_w[None, :]) @ V.T
+    return C, H
+
+
+def final_solve(AtWA, AtWb, btWb, reg_mats, reg_params):
+    """Coefficients, covariance and chi^2 of one record's regularized fit.
+
+    Implements interpolate.py:432-469 (eval_C with calccov=True) plus the
+    chi^2 computation of interpolate.py:569, all from sufficient statistics:
+      X = AtWA + sum_r alpha_r R_r
+      C = pinv(X) AtWb              (== scipy lstsq min-norm solution)
+      dC = pinv(X) AtWA pinv(X)
+      chi2 = C'AtWA C - 2 C'AtWb + btWb
+
+    reg_mats: [nreg, nb, nb]; reg_params: [nreg].
+    """
+    X = AtWA
+    if reg_mats.shape[0] > 0:
+        X = X + jnp.tensordot(reg_params, reg_mats, axes=1)
+    C, H = sym_pinv_apply(X, AtWb)
+    dC = H @ AtWA @ H
+    chi2 = C @ (AtWA @ C) - 2.0 * (C @ AtWb) + btWb
+    return C, dC, chi2
+
+
+def whiten_pencil(AtWA, R, jitter_rel=1e-12):
+    """One-time whitening of the pencil (AtWA, R) for O(n) alpha scans.
+
+    Returns (lam, u2, resid0, Ly) enabling the closed forms
+        chi2(a)  = sum u^2 [1/(1+a lam)^2 - 2/(1+a lam)] + btWb
+        C(a)     = L^{-T} Q (I + a Lam)^{-1} u
+    where L = chol(AtWA + jitter), G = L^{-1} R L^{-T} = Q Lam Q', and
+    u = Q' L^{-1} AtWb.  The tiny relative jitter regularizes records whose
+    AtWA is singular (ridge limit == the reference's lstsq min-norm
+    behaviour, since AtWb is orthogonal to null(AtWA)).
+    """
+    n = AtWA.shape[-1]
+    scale = jnp.trace(AtWA) / n
+    scale = jnp.where(scale > 0, scale, 1.0)
+    L = jnp.linalg.cholesky(AtWA + (jitter_rel * scale) * jnp.eye(n, dtype=AtWA.dtype))
+    # G = L^{-1} R L^{-T}
+    Linv_R = jax.scipy.linalg.solve_triangular(L, R, lower=True)
+    G = jax.scipy.linalg.solve_triangular(L, Linv_R.T, lower=True).T
+    G = 0.5 * (G + G.T)
+    lam, Q = jnp.linalg.eigh(G)
+    return L, lam, Q
+
+
+def whitened_chi2(a, lam, u, btWb):
+    """chi^2 of the fit with X = AtWA + a R, from whitened quantities.
+
+    u = Q' L^{-1} AtWb.  Derivation: with LtC = Q (I+aLam)^{-1} u,
+    C'AtWA C = ||(I+aLam)^{-1} u||^2 and C'AtWb = u'(I+aLam)^{-1}u, so
+    chi2(a) = sum_i u_i^2 (d_i^2 - 2 d_i) + btWb,  d_i = 1/(1+a lam_i).
+    Monotone non-decreasing in a for a >= 0 (and lam >= 0), which makes the
+    chi2-nu root unique and bisection safe.
+    """
+    d = 1.0 / (1.0 + a * lam)
+    return jnp.sum(u * u * (d * d - 2.0 * d)) + btWb
+
+
+def whitened_solve(a, L, lam, Q, u):
+    """C(a) = (AtWA + a R)^{-1} AtWb from whitened quantities."""
+    d = 1.0 / (1.0 + a * lam)
+    return jax.scipy.linalg.solve_triangular(L.T, Q @ (d * u), lower=False)
