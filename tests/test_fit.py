@@ -1,0 +1,232 @@
+"""Fit pipeline parity vs the oracle's per-record reference loop.
+
+Synthetic Chapman-layer electron densities over a ~20-beam AMISR-like
+geometry (BASELINE.json config 1)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from volumetricinterp_tpu.config import Config
+from volumetricinterp_tpu.models.sphharmlag import Model
+from volumetricinterp_tpu.ops.fit import fit_records
+from volumetricinterp_tpu.ops.solve import suff_stats, sym_pinv_apply, final_solve
+from tests.oracle import oracle_eval_C, oracle_fit_record
+
+
+def chapman(alt, nmax=4e11, hmax=300e3, h=60e3):
+    zz = (alt - hmax) / h
+    return nmax * np.exp(0.5 * (1.0 - zz - np.exp(-zz)))
+
+
+@pytest.fixture(scope="module")
+def geometry():
+    """~20 beams x 25 range gates around the RISR-like site."""
+    rng = np.random.default_rng(42)
+    az = np.linspace(0, 2 * np.pi, 5, endpoint=False)
+    el = np.deg2rad([55, 65, 75, 85])
+    ranges = np.linspace(100e3, 700e3, 25)
+    lat0, lon0 = 78.0, 262.0
+    lats, lons, alts = [], [], []
+    for a in az:
+        for e in el:
+            # crude straight-line propagation in a local tangent frame
+            horiz = ranges * np.cos(e)
+            alt = ranges * np.sin(e)
+            dlat = horiz * np.cos(a) / 111.2e3
+            dlon = horiz * np.sin(a) / (111.2e3 * np.cos(np.deg2rad(lat0)))
+            lats.append(lat0 + dlat)
+            lons.append(lon0 + dlon)
+            alts.append(alt)
+    lat = np.concatenate(lats)
+    lon = np.concatenate(lons)
+    alt = np.concatenate(alts)
+    keep = alt > 90e3
+    return lat[keep], lon[keep], alt[keep]
+
+
+@pytest.fixture(scope="module")
+def model(small_config_text):
+    return Model(Config.from_text(small_config_text))
+
+
+@pytest.fixture(scope="module")
+def records(geometry, model):
+    """3 records of noisy model-representable densities with NaN dropouts.
+
+    Targets are Chapman-layer profiles projected onto the basis span so the
+    chi2 = nu condition is satisfiable (otherwise both implementations
+    correctly NaN-fill every record and the test shows nothing)."""
+    rng = np.random.default_rng(3)
+    lat, lon, alt = geometry
+    A = np.asarray(model.basis(lat, lon, alt))
+    npts = lat.size
+    nrec = 3
+    values = np.zeros((nrec, npts))
+    errors = np.zeros((nrec, npts))
+    for r in range(nrec):
+        target = chapman(alt) * (1.0 + 0.1 * np.sin(np.deg2rad(lon - 262) * 8 + r))
+        # rcond=1e-10 keeps the target inside the EFFECTIVE fit subspace: the
+        # signed-m quirk (docs/PARITY_NOTES.md #2) suppresses the sin-columns
+        # below the pinv cutoff, so components along them are unfittable.
+        C_true = np.linalg.lstsq(A, target, rcond=1e-10)[0]
+        ne = A @ C_true
+        noise = 2e10 + 0.05 * np.abs(ne)
+        values[r] = ne + rng.normal(0, 1, npts) * noise
+        errors[r] = 1.15 * noise  # slightly conservative declared errors
+        drop = rng.random(npts) < 0.07
+        values[r, drop] = np.nan
+        errors[r, drop] = np.nan
+    return values, errors
+
+
+@pytest.fixture(scope="module")
+def design(model, geometry):
+    lat, lon, alt = geometry
+    return np.asarray(model.basis(lat, lon, alt))
+
+
+def test_suff_stats_match_einsum(design, records):
+    values, errors = records
+    v, e = values[0], errors[0]
+    mask = np.isfinite(v)
+    AtWA, AtWb, btWb, N = (
+        np.asarray(x)
+        for x in suff_stats(
+            jnp.asarray(design),
+            jnp.nan_to_num(jnp.asarray(v)),
+            jnp.asarray(np.where(mask, e, 1.0) ** -2.0),
+            jnp.asarray(mask.astype(float)),
+        )
+    )
+    A0, b0, W0 = design[mask], v[mask], errors[0][mask] ** -2.0
+    assert np.allclose(AtWA, np.einsum("ji,j,jk->ik", A0, W0, A0), rtol=1e-12)
+    assert np.allclose(AtWb, np.einsum("ji,j,j->i", A0, W0, b0), rtol=1e-12)
+    assert np.isclose(btWb, np.sum(W0 * b0**2), rtol=1e-12)
+    assert N == mask.sum()
+
+
+def test_sym_pinv_matches_scipy(rng):
+    import scipy.linalg
+
+    n = 20
+    B = rng.normal(size=(n, n))
+    X = B @ B.T
+    # make it rank deficient
+    w, V = np.linalg.eigh(X)
+    w[:5] = 0.0
+    X = (V * w) @ V.T
+    y = rng.normal(size=n)
+    C, H = (np.asarray(q) for q in sym_pinv_apply(jnp.asarray(X), jnp.asarray(y)))
+    C_ref = scipy.linalg.lstsq(X, y)[0]
+    H_ref = scipy.linalg.pinv(X)
+    assert np.allclose(C, C_ref, rtol=1e-8, atol=1e-10 * np.abs(C_ref).max())
+    assert np.allclose(H, H_ref, rtol=1e-8, atol=1e-10 * np.abs(H_ref).max())
+
+
+@pytest.mark.parametrize("method", ["chi2", "manual"])
+def test_fit_records_match_oracle(model, design, records, method):
+    values, errors = records
+    psi = np.asarray(model.eval_psi())
+    reg_mats = jnp.asarray(psi)[None]
+    manual = [1.0e-23]  # 0thorder manual constant (interpolate.py:374)
+
+    C, dC, chi2, alphas = (
+        np.asarray(q)
+        for q in fit_records(
+            jnp.asarray(values),
+            jnp.asarray(errors),
+            jnp.asarray(design),
+            reg_mats,
+            method=method,
+            manual_params=jnp.asarray(manual),
+        )
+    )
+
+    # The quirk-suppressed sin-columns and near-collinear harmonics
+    # (docs/PARITY_NOTES.md #2) make RAW coefficient entries carry O(eps/w)
+    # noise in ANY implementation (scipy's own gelsd included), so parity is
+    # asserted in the metrics the data + regularization actually determine:
+    # the X-energy norm of C, the stable eigenspace of dC, and the fitted
+    # field values.
+    # With method='manual' alpha is exact, isolating pure solver parity:
+    # measured eigh-vs-gelsd noise on this (deliberately ill-conditioned)
+    # basis is ~1e-7.  With method='chi2' the root position itself carries
+    # up to ~5e-5 relative noise (the chi2(alpha) objective is flat near the
+    # root and its evaluation differs at ~1e-9 between any two correct
+    # solvers), which propagates to everything downstream of alpha.
+    tol = {"manual": 1e-6, "chi2": 1e-4}[method]
+    alpha_tol = {"manual": 1e-12, "chi2": 2e-4}[method]
+
+    for r in range(values.shape[0]):
+        C_ref, dC_ref, c2_ref, p_ref = oracle_fit_record(
+            values[r], errors[r], design, [psi], method=method, manual=manual
+        )
+        # regularization parameter parity
+        assert np.allclose(alphas[r], p_ref, rtol=alpha_tol), (r, alphas[r], p_ref)
+        assert np.isclose(chi2[r], c2_ref, rtol=tol)
+
+        # energy-norm coefficient parity: ||X^(1/2) (C - C_ref)||
+        mask = np.isfinite(values[r])
+        A0, W0 = design[mask], errors[r][mask] ** -2.0
+        X = np.einsum("ji,j,jk->ik", A0, W0, A0) + p_ref[0] * psi
+        d = C[r] - C_ref
+        num = np.sqrt(d @ X @ d)
+        den = np.sqrt(C_ref @ X @ C_ref)
+        assert num < tol * den, (r, num / den)
+
+        # covariance parity through the physically meaningful quantity:
+        # the predicted field variance a(x)' dC a(x) (what Estimate's
+        # calcerr path consumes)
+        e1 = np.einsum("pi,ij,pj->p", design, dC[r], design)
+        e2 = np.einsum("pi,ij,pj->p", design, dC_ref, design)
+        assert np.max(np.abs(e1 - e2)) < max(tol, 1e-8) * np.max(np.abs(e2)), r
+
+        # fitted field parity at the data points (stable in all directions)
+        y1, y2 = design @ C[r], design @ C_ref
+        assert np.max(np.abs(y1 - y2)) < tol * np.max(np.abs(y2)), r
+
+
+def test_fit_records_nan_record(model, design, records):
+    """A record whose data cannot satisfy chi2=nu gets NaN-filled
+    (interpolate.py:557-563)."""
+    values, errors = records
+    v = values.copy()
+    e = errors.copy()
+    # make record 1 wildly inconsistent with its tiny errors -> chi2 >> N,
+    # no root in (1e-100, 1] for any scale factor
+    rng = np.random.default_rng(0)
+    v[1] = 1e11 + rng.normal(0, 1e11, v.shape[1])
+    e[1] = 1e6
+    psi = np.asarray(model.eval_psi())
+    C, dC, chi2, alphas = (
+        np.asarray(q)
+        for q in fit_records(
+            jnp.asarray(v), jnp.asarray(e), jnp.asarray(design),
+            jnp.asarray(psi)[None], method="chi2",
+        )
+    )
+    assert np.all(np.isnan(C[1]))
+    assert np.all(np.isnan(dC[1]))
+    assert np.isnan(chi2[1])
+    assert np.all(np.isfinite(C[0]))
+    assert np.all(np.isfinite(C[2]))
+
+    C_ref, _, _, p_ref = oracle_fit_record(v[1], e[1], design, [psi], "chi2")
+    assert np.all(np.isnan(C_ref)) and np.isnan(p_ref[0])
+
+
+def test_too_smooth_returns_zero(model, design, records):
+    """Very large errors -> chi2(alpha=1) < 0.6 N -> alpha = 0 exactly
+    (interpolate.py:189-191)."""
+    values, errors = records
+    v = values[:1].copy()
+    e = np.full_like(v, 1e14)  # enormous errors: any fit is "good"
+    psi = np.asarray(model.eval_psi())
+    _, _, _, alphas = fit_records(
+        jnp.asarray(v), jnp.asarray(e), jnp.asarray(design),
+        jnp.asarray(psi)[None], method="chi2",
+    )
+    assert float(alphas[0, 0]) == 0.0
+    _, _, _, p_ref = oracle_fit_record(v[0], e[0], design, [psi], "chi2")
+    assert p_ref[0] == 0.0

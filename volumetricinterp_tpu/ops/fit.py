@@ -24,17 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from . import regparam
-from .solve import final_solve, suff_stats, whiten_pencil
-
-
-def _whitened_quantities(AtWA, AtWb, R):
-    L, lam, Q = whiten_pencil(AtWA, R)
-    u = Q.T @ jax.scipy.linalg.solve_triangular(L, AtWb, lower=True)
-    return L, lam, Q, u
+from .solve import final_solve, suff_stats
 
 
 def fit_one_record(values, errors, A, reg_mats, method: str,
-                   manual_params=None, U_needed: bool = False):
+                   manual_params=None):
     """Fit a single record.  values/errors: [npoints]; A: [npoints, nbasis];
     reg_mats: [nreg, nbasis, nbasis].  `method` is static.
 
@@ -55,14 +49,14 @@ def fit_one_record(values, errors, A, reg_mats, method: str,
         for i in range(nreg):
             # reference semantics: each parameter solved with all others
             # at zero (interpolate.py:120-124, 246-252)
-            L, lam, Q, u = _whitened_quantities(AtWA, AtWb, reg_mats[i])
             if method == "chi2":
-                found.append(regparam.chi2_reg_param(lam, u, btWb, N))
+                found.append(
+                    regparam.chi2_reg_param(AtWA, AtWb, btWb, N, reg_mats[i])
+                )
             elif method == "gcv":
-                U = Q.T @ jax.scipy.linalg.solve_triangular(L, A.T, lower=True)
                 Wm = jnp.where(mask > 0, W, 0.0)
                 found.append(
-                    regparam.gcv_reg_param(lam, u, U, b, Wm, mask)
+                    regparam.gcv_reg_param(AtWA, AtWb, reg_mats[i], A, b, Wm, mask)
                 )
             else:
                 raise ValueError(f"unknown regularization method {method!r}")

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .solve import whitened_chi2
+from .solve import cutoff_chi2, sym_pinv_apply
 
 # reference constants (interpolate.py:173, 199-202)
 SCALE_FACTORS = (0.6, 0.7, 0.8, 0.9, 1.0)
@@ -45,18 +45,23 @@ ALPHA_MIN = -100.0
 N_BISECT = 100
 
 
-def chi2_reg_param(lam, u, btWb, N):
+def chi2_reg_param(AtWA, AtWb, btWb, N, R):
     """chi2-nu regularization parameter for one record, one reg matrix.
 
-    lam, u: whitened pencil quantities (ops/solve.whiten_pencil); btWb, N:
-    scalars.  Returns the regularization parameter itself (NOT log10):
-    0.0 for the "too smooth" early exit (interpolate.py:189-191), NaN when
-    no bracket exists in (1e-100, 1] for any scale factor
-    (interpolate.py:210-211).
+    Inputs are the record's sufficient statistics plus the reg matrix R.
+    Every chi^2(alpha) evaluation uses the reference's exact lstsq-cutoff
+    solve semantics (solve.cutoff_chi2); evaluations are batched over the
+    static alpha grid with lax.map so memory stays O(nbasis^2) per record.
+
+    Returns the regularization parameter itself (NOT log10): 0.0 for the
+    "too smooth" early exit (interpolate.py:189-191), NaN when no bracket
+    exists in (1e-100, 1] for any scale factor (interpolate.py:210-211).
     """
     # chi^2 on the static alpha grid 0, -1, ..., -100
     alphas = -jnp.arange(0.0, -ALPHA_MIN + 1.0, dtype=btWb.dtype)  # [101]
-    chi2_grid = jax.vmap(lambda a: whitened_chi2(10.0**a, lam, u, btWb))(alphas)
+    chi2_grid = lax.map(
+        lambda a: cutoff_chi2(10.0**a, AtWA, AtWb, btWb, R), alphas
+    )
 
     sf = jnp.asarray(SCALE_FACTORS, dtype=btWb.dtype)
     nus = N * sf  # [5]
@@ -79,7 +84,7 @@ def chi2_reg_param(lam, u, btWb, N):
     hi = alphas[j - 1]  # f(hi) >= 0
 
     def g(a_log):
-        return whitened_chi2(10.0**a_log, lam, u, btWb) - nu
+        return cutoff_chi2(10.0**a_log, AtWA, AtWb, btWb, R) - nu
 
     def body(_, carry):
         lo, hi = carry
@@ -108,17 +113,21 @@ NM_FATOL = 1e-4
 NM_MAXITER = 200  # scipy default N * 200 for N = 1
 
 
-def gcv_objective(a_log, lam, u, U, b, W, mask):
+def gcv_objective(a_log, AtWA, AtWb, R, A, b, W, mask):
     """Sum of weighted squared LOO residuals at reg param 10^a_log.
 
-    U: [nbasis, npoints] = Q' L^{-1} A'; b, W, mask: [npoints].
-    Identical in value to the reference's per-point refit loop
-    (interpolate.py:332-351).
+    Uses the exact rank-one-downdate identity
+        loo_resid_i = (yhat_i - b_i) / (1 - h_ii),
+        h_ii = W_i a_i' pinv(X) a_i,   X = AtWA + a R,
+    which matches the reference's per-point refit loop
+    (interpolate.py:332-351) in value, with the same cutoff-solve
+    semantics as chi2 (solve.sym_pinv_apply).
     """
     a = 10.0**a_log
-    d = 1.0 / (1.0 + a * lam)  # [nbasis]
-    yhat = U.T @ (d * u)  # [npoints]
-    h = W * jnp.einsum("kp,k,kp->p", U, d, U)
+    X = AtWA + a * R
+    C, H = sym_pinv_apply(X, AtWb)
+    yhat = A @ C  # [npoints]
+    h = W * jnp.einsum("pi,ij,pj->p", A, H, A)
     r = (yhat - b) / (1.0 - h)
     r = jnp.where(mask > 0, r, 0.0)
     return jnp.sum(r * r * jnp.where(mask > 0, W, 0.0))
@@ -187,11 +196,12 @@ def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER):
     return xs[0], converged
 
 
-def gcv_reg_param(lam, u, U, b, W, mask):
+def gcv_reg_param(AtWA, AtWb, R, A, b, W, mask):
     """GCV regularization parameter for one record, one reg matrix.
 
     NaN when the minimizer fails to converge (interpolate.py:292-293)."""
-    obj = partial(gcv_objective, lam=lam, u=u, U=U, b=b, W=W, mask=mask)
+    obj = partial(gcv_objective, AtWA=AtWA, AtWb=AtWb, R=R, A=A, b=b, W=W,
+                  mask=mask)
     x, ok = nelder_mead_1d(lambda a: obj(a), GCV_ALPHA0)
     reg = 10.0**x
     return jnp.where(ok, reg, jnp.nan)

@@ -49,7 +49,7 @@ def suff_stats(A, b, W, mask):
     return AtWA, AtWb, btWb, N
 
 
-def sym_pinv_apply(X, y, rcond_factor=None):
+def sym_pinv_apply(X, y, rcond_factor=None, want_H=True):
     """Min-norm solve C = pinv(X) @ y for symmetric X, plus pinv(X).
 
     Matches scipy.linalg.lstsq(X, y) / scipy.linalg.pinv(X) semantics
@@ -66,8 +66,25 @@ def sym_pinv_apply(X, y, rcond_factor=None):
     inv_w = jnp.where(aw > cutoff, 1.0 / w, 0.0)
     Vty = V.T @ y
     C = V @ (inv_w * Vty)
+    if not want_H:
+        return C, None
     H = (V * inv_w[None, :]) @ V.T
     return C, H
+
+
+def cutoff_chi2(a, AtWA, AtWb, btWb, R):
+    """chi^2 of the fit with X = AtWA + a R under REFERENCE solve semantics.
+
+    Reproduces interpolate.py:220-261 (chi2objfunct) exactly: the coefficient
+    vector comes from the min-norm lstsq solve with scipy's singular-value
+    cutoff — which matters when the quirk-suppressed sin-columns
+    (docs/PARITY_NOTES.md #2) push X's spectrum below the cutoff.  chi^2 is
+    then evaluated from sufficient statistics:
+        chi2 = C'AtWA C - 2 C'AtWb + btWb  ==  sum_i W_i (A C - b)_i^2.
+    """
+    X = AtWA + a * R
+    C, _ = sym_pinv_apply(X, AtWb, want_H=False)
+    return C @ (AtWA @ C) - 2.0 * (C @ AtWb) + btWb
 
 
 def final_solve(AtWA, AtWb, btWb, reg_mats, reg_params):
