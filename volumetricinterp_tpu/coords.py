@@ -111,8 +111,10 @@ def geodetic_to_cap(gdlat, gdlon, gdalt, latcp, loncp):
     """Geodetic -> pole-centred cap coordinates (z, theta, phi).
 
     Full transform of models/sphharmlag.py:324-359: geodetic2ecef, Rodrigues
-    rotation of the cap center to the north pole, spherical conversion, and
-    the radial stretch z = 100 (r/RE - 1).
+    rotation by +theta0 about the horizontal axis (which maps the cap center
+    to colatitude 2*theta0 — a reference quirk reproduced verbatim, see
+    docs/PARITY_NOTES.md #1), spherical conversion, and the radial stretch
+    z = 100 (r/RE - 1).
     """
     k, theta0 = cap_rotation_axis_angle(latcp, loncp)
     x, y, z = geodetic2ecef(gdlat, gdlon, gdalt)
@@ -120,4 +122,54 @@ def geodetic_to_cap(gdlat, gdlon, gdalt, latcp, loncp):
     r = jnp.sqrt(rx**2 + ry**2 + rz**2)
     t = jnp.arccos(rz / r)
     p = jnp.arctan2(ry, rx)
+    return 100.0 * (r / RE - 1.0), t, p
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy) replicas — exact float64 transcendentals.
+#
+# TPU float64 trig is only float32-accurate (measured sin error ~3e-8 on
+# v5e), which would contaminate theta and hence P_nu by ~nu * 3e-8 ~ 3e-6
+# relative.  The fit and float64-Estimate paths therefore run the coordinate
+# transform on host (the geometry is host data anyway, computed once per
+# file); only the float32 fast path transforms on device.
+# ---------------------------------------------------------------------------
+
+
+def np_geodetic2ecef(gdlat, gdlon, gdalt):
+    import numpy as np
+
+    lat = np.deg2rad(np.asarray(gdlat, dtype=np.float64))
+    lon = np.deg2rad(np.asarray(gdlon, dtype=np.float64))
+    alt = np.asarray(gdalt, dtype=np.float64)
+    sin_lat = np.sin(lat)
+    n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * sin_lat**2)
+    x = (n + alt) * np.cos(lat) * np.cos(lon)
+    y = (n + alt) * np.cos(lat) * np.sin(lon)
+    z = (n * (1.0 - WGS84_E2) + alt) * sin_lat
+    return x, y, z
+
+
+def np_geodetic_to_cap(gdlat, gdlon, gdalt, latcp, loncp):
+    import numpy as np
+
+    x0, y0, z0 = np_geodetic2ecef(latcp, loncp, 0.0)
+    r0 = np.sqrt(x0**2 + y0**2 + z0**2)
+    theta0 = np.arccos(z0 / r0)
+    phi0 = np.arctan2(y0, x0)
+    k = np.array(
+        [np.cos(phi0 + np.pi / 2.0), np.sin(phi0 + np.pi / 2.0), 0.0]
+    )
+    x, y, z = np_geodetic2ecef(gdlat, gdlon, gdalt)
+    ct, st = np.cos(theta0), np.sin(theta0)
+    cx = k[1] * z - k[2] * y
+    cy = k[2] * x - k[0] * z
+    cz = k[0] * y - k[1] * x
+    kdv = k[0] * x + k[1] * y + k[2] * z
+    rx = x * ct + cx * st + k[0] * kdv * (1.0 - ct)
+    ry = y * ct + cy * st + k[1] * kdv * (1.0 - ct)
+    rz = z * ct + cz * st + k[2] * kdv * (1.0 - ct)
+    r = np.sqrt(rx**2 + ry**2 + rz**2)
+    t = np.arccos(rz / r)
+    p = np.arctan2(ry, rx)
     return 100.0 * (r / RE - 1.0), t, p

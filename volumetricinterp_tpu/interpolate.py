@@ -1,1 +1,304 @@
-class Interpolate: pass
+"""Interpolate — the batched fit engine (public API parity with the
+reference class of the same name, interpolate.py:16-708).
+
+Differences under the hood (all TPU-first, see SURVEY.md section 7):
+* the serial per-record loop (interpolate.py:511) is a vmapped, jit-compiled
+  batch, shardable over a device mesh (parallel/fit.py);
+* regularization matrices come from separable 1-D integral tables instead of
+  O(nbasis^2) triple quadratures — numerically identical in 'quad' mode;
+* NaN points are weight-masked instead of row-deleted, keeping shapes
+  static for XLA;
+* results can be flushed incrementally per record chunk and resumed
+  (io.coeffs.IncrementalCoeffWriter).
+
+Attribute parity: configfile, regularization_list, reg_method, filename,
+outputfilename, param, errlim, chi2lim, goodfitcode, model_name, model,
+hull_vert, time, Coeffs, Covariance, chi_sq.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import Config
+from . import models
+from .io.amisr import read_datafile
+from .io.coeffs import IncrementalCoeffWriter, save_coeff_file
+from .ops.fit import fit_records
+from .ops import regparam as regparam_mod
+from .ops.solve import final_solve, suff_stats
+from .utils.hull import compute_hull_vertices
+from .utils.logging import PhaseTimer, fit_quality_report, logger
+
+
+class Interpolate:
+    def __init__(self, config_file):
+        if isinstance(config_file, Config):
+            self.config = config_file
+            self.configfile = self.config.path or ""
+        else:
+            self.configfile = config_file if isinstance(config_file, str) else ""
+            self.config = Config.from_file(config_file)
+        self.read_config(self.config)
+        self.model = models.make_model(self.model_name, self.config)
+        self.timer = PhaseTimer()
+        self.reg_params = None
+
+    def read_config(self, config):
+        """Populate reference-parity attributes (interpolate.py:64-88)."""
+        if not isinstance(config, Config):
+            config = Config.from_file(config)
+            self.config = config
+        f = config.fit
+        self.regularization_list = list(f.regularization_list)
+        self.reg_method = f.regularization_method
+        self.filename = f.filename
+        self.outputfilename = f.outputfilename
+        self.param = f.param
+        self.errlim = list(f.errlim)
+        self.chi2lim = list(f.chi2lim)
+        self.goodfitcode = list(f.goodfitcode)
+        self.model_name = config.model.name
+
+    # ------------------------------------------------------------------
+    # reference-parity numerical methods (library surface)
+    # ------------------------------------------------------------------
+
+    def eval_C(self, A, b, W, reg_matrices, reg_params, calccov=False):
+        """Reference interpolate.py:432-469 with dict-style reg arguments."""
+        A = jnp.asarray(A)
+        b = jnp.asarray(b).ravel()
+        W = jnp.asarray(W).ravel()
+        mask = jnp.isfinite(b)
+        AtWA, AtWb, btWb, _ = suff_stats(A, b, W, mask.astype(A.dtype))
+        names = self.regularization_list
+        mats = jnp.stack([jnp.asarray(reg_matrices[r]) for r in names]) if names \
+            else jnp.zeros((0, A.shape[1], A.shape[1]), dtype=A.dtype)
+        alphas = jnp.asarray([reg_params[r] for r in names], dtype=A.dtype)
+        C, dC, _ = final_solve(AtWA, AtWb, btWb, mats, alphas)
+        if calccov:
+            return C, dC
+        return C
+
+    def find_reg_param(self, A, b, W, reg_matrices, method=None):
+        """Reference interpolate.py:97-147: dict of parameters per reg."""
+        if method is None:
+            method = "chi2"
+        A = jnp.asarray(A)
+        b = jnp.asarray(b).ravel()
+        W = jnp.asarray(W).ravel()
+        mask = jnp.isfinite(b).astype(A.dtype)
+        AtWA, AtWb, btWb, N = suff_stats(A, b, W, mask)
+        out = {}
+        for name in self.regularization_list:
+            R = jnp.asarray(reg_matrices[name])
+            if method == "chi2":
+                out[name] = float(
+                    regparam_mod.chi2_reg_param(AtWA, AtWb, btWb, N, R)
+                )
+            elif method == "gcv":
+                Wm = jnp.where(mask > 0, W, 0.0)
+                out[name] = float(
+                    regparam_mod.gcv_reg_param(AtWA, AtWb, R, A, b, Wm, mask)
+                )
+            elif method == "manual":
+                out[name] = regparam_mod.manual_reg_param(name)
+            elif method == "prompt":
+                out[name] = float(input(f"Enter {name} regularization parameter: "))
+            else:
+                raise ValueError(f"unknown regularization method {method!r}")
+            if np.isnan(out[name]):
+                logger.warning(
+                    "Could not find any roots to the objective function "
+                    "chi^2-nu in the range (1e-100,1). Returning NANs for "
+                    "regularization parameters."
+                )
+        return out
+
+    def compute_hull(self, lat, lon, alt):
+        """Reference interpolate.py:409-426; sets self.hull_vert."""
+        self.hull_vert = compute_hull_vertices(lat, lon, alt)
+
+    def read_datafile(self, filename):
+        """Reference interpolate.py:582-667."""
+        return read_datafile(
+            filename, self.param, self.errlim, self.chi2lim, self.goodfitcode
+        )
+
+    # ------------------------------------------------------------------
+    # the batched fit
+    # ------------------------------------------------------------------
+
+    def _reg_matrices(self):
+        reg_matricies = {}
+        for reg in self.regularization_list:
+            try:
+                reg_matricies[reg] = np.asarray(
+                    self.model.eval_reg_matricies[reg]()
+                )
+            except KeyError as e:
+                # message parity with interpolate.py:490-493
+                print(
+                    "WARNING: The model {} does not support {} regularization!"
+                    .format(self.model_name, reg)
+                )
+                print(
+                    "If you would like to use {} regularization, please modify "
+                    "{}.py so that it includes functions to calculate the "
+                    "appropriate regularization matrix.".format(reg, self.model_name)
+                )
+                raise e
+        return reg_matricies
+
+    def calc_coeffs(self, starttime=None, endtime=None, resume=False):
+        """Fit every record in the file (optionally a time window), batched.
+
+        Reference flow (interpolate.py:472-579) with chunked device batches.
+        With resume=True and an existing partial output file, completed
+        chunks are skipped (checkpoint/resume, SURVEY.md section 5.4).
+        """
+        with self.timer.phase("reg_matrices"):
+            print("Evaluating Regularization matricies.  This may take a few minutes.")
+            reg_mats_dict = self._reg_matrices()
+            names = self.regularization_list
+            nb = self.model.nbasis
+            reg_mats = (
+                jnp.asarray(np.stack([reg_mats_dict[r] for r in names]))
+                if names
+                else jnp.zeros((0, nb, nb))
+            )
+
+        with self.timer.phase("read_datafile"):
+            utime, lat, lon, alt, value, error = self.read_datafile(self.filename)
+
+        with self.timer.phase("compute_hull"):
+            self.compute_hull(lat, lon, alt)
+
+        if starttime and endtime:
+            epoch = dt.datetime.utcfromtimestamp(0)
+            idx = np.argwhere(
+                (utime[:, 0] >= (starttime - epoch).total_seconds())
+                & (utime[:, 1] <= (endtime - epoch).total_seconds())
+            ).flatten()
+            utime = utime[idx, :]
+            value = value[idx]
+            error = error[idx]
+
+        nrec = value.shape[0]
+
+        method = self.reg_method
+        manual_params = None
+        if method == "manual":
+            manual_params = [regparam_mod.manual_reg_param(r) for r in names]
+        elif method == "prompt":
+            # python-3 fix of interpolate.py:383-407 (raw_input); asked once
+            # per regularization type, not once per record
+            manual_params = [
+                float(input("Enter {} regularization parameter: ".format(r)))
+                for r in names
+            ]
+            method = "manual"
+
+        # make sure the Legendre tables cover the data's colatitude range
+        if hasattr(self.model, "transform_coord") and nrec > 0:
+            _, t, _ = self.model.transform_coord(lat, lon, alt)
+            self.model.ensure_theta_domain(float(np.max(np.asarray(t))))
+
+        with self.timer.phase("design_matrix"):
+            A = self.model.basis(lat, lon, alt)
+
+        chunk = self.config.tpu.chunk_size or nrec
+        writer = None
+        start0 = 0
+        if resume and self.outputfilename and os.path.exists(self.outputfilename):
+            writer = self._make_writer(nrec)
+            start0 = writer.nrec_done
+            logger.info("resuming at record %d / %d", start0, nrec)
+
+        C_all = np.zeros((nrec, nb))
+        dC_all = np.zeros((nrec, nb, nb))
+        c2_all = np.zeros(nrec)
+        rp_all = np.zeros((nrec, len(names)))
+        if writer is not None and start0 > 0:
+            C_all[:start0] = writer.f["Coeffs/C"][:start0]
+            dC_all[:start0] = writer.f["Coeffs/dC"][:start0]
+            c2_all[:start0] = writer.f["FitParams/chi2"][:start0]
+            if names:
+                rp_all[:start0] = writer.f["FitParams/reg_params"][:start0]
+
+        with self.timer.phase("fit_records"):
+            for s in range(start0, nrec, chunk):
+                e = min(s + chunk, nrec)
+                C, dC, c2, rp = fit_records(
+                    jnp.asarray(value[s:e]),
+                    jnp.asarray(error[s:e]),
+                    jnp.asarray(A),
+                    reg_mats,
+                    method=method,
+                    manual_params=(
+                        jnp.asarray(manual_params) if manual_params is not None
+                        else None
+                    ),
+                )
+                C_all[s:e] = np.asarray(C)
+                dC_all[s:e] = np.asarray(dC)
+                c2_all[s:e] = np.asarray(c2)
+                rp_all[s:e] = np.asarray(rp)
+                if writer is not None:
+                    writer.write_chunk(s, utime[s:e], C_all[s:e], dC_all[s:e],
+                                       c2_all[s:e], rp_all[s:e])
+        if writer is not None:
+            writer.close()
+
+        self.time = utime
+        self.Coeffs = C_all
+        self.Covariance = dC_all
+        self.chi_sq = c2_all
+        self.reg_params = rp_all
+
+        nvalid = np.isfinite(value).sum(axis=1)
+        fit_quality_report(c2_all, nvalid, rp_all, names)
+
+    def _make_writer(self, nrec):
+        meta = dict(
+            reg_list=self.regularization_list,
+            reg_method=self.reg_method,
+            hull_vert=self.hull_vert,
+            raw_filename=self.filename,
+            config_name=os.path.basename(self.configfile) if self.configfile else "",
+            config_path=(
+                os.path.dirname(os.path.abspath(self.configfile))
+                if self.configfile else ""
+            ),
+            config_contents=self.config.raw_text,
+        )
+        return IncrementalCoeffWriter(
+            self.outputfilename, nrec, self.model.nbasis, meta
+        )
+
+    def saveh5(self):
+        """Write the coefficient file (reference interpolate.py:671-708)."""
+        name = os.path.basename(self.configfile) if self.configfile else ""
+        path = (
+            os.path.dirname(os.path.abspath(self.configfile))
+            if self.configfile else ""
+        )
+        save_coeff_file(
+            self.outputfilename,
+            self.time,
+            self.Coeffs,
+            self.Covariance,
+            self.chi_sq,
+            self.hull_vert,
+            self.regularization_list,
+            self.reg_method,
+            self.filename,
+            name,
+            path,
+            self.config.raw_text,
+            reg_params=self.reg_params,
+        )

@@ -42,8 +42,8 @@ class Model:
             np.linspace(self.lonrange[0], self.lonrange[1], self.numgridpnt),
             np.linspace(self.altrange[0], self.altrange[1], self.numgridpnt) * 1000.0,
         )
-        X, Y, Z = coords.geodetic2ecef(lat.flatten(), lon.flatten(), alt.flatten())
-        self.centers = jnp.stack([X, Y, Z], axis=-1)  # [nbasis, 3]
+        X, Y, Z = coords.np_geodetic2ecef(lat.flatten(), lon.flatten(), alt.flatten())
+        self.centers = jnp.asarray(np.stack([X, Y, Z], axis=-1))  # [nbasis, 3]
         self.nbasis = self.centers.shape[0]
 
         self.eval_reg_matricies = {}
@@ -64,14 +64,27 @@ class Model:
         d2 = jnp.maximum(d2, 0.0)
         return jnp.exp(-d2 / self.eps**2)
 
+    def _ecef_for(self, gdlat, gdlon, gdalt):
+        """ECEF points [npts, 3]; host float64 transform when eager (exact
+        trig — see coords.py), device transform when traced."""
+        try:
+            lat = np.asarray(gdlat, dtype=np.float64).ravel()
+            lon = np.asarray(gdlon, dtype=np.float64).ravel()
+            alt = np.asarray(gdalt, dtype=np.float64).ravel()
+            x, y, z = coords.np_geodetic2ecef(lat, lon, alt)
+            return jnp.asarray(np.stack([x, y, z], axis=-1))
+        except Exception:
+            x, y, z = coords.geodetic2ecef(
+                jnp.asarray(gdlat).ravel(),
+                jnp.asarray(gdlon).ravel(),
+                jnp.asarray(gdalt).ravel(),
+            )
+            return jnp.stack([x, y, z], axis=-1)
+
     def basis(self, gdlat, gdlon, gdalt):
         """A[..., nbasis] at geodetic points (reference radbasfun.py:83-112)."""
-        gdlat = jnp.asarray(gdlat)
-        shape = gdlat.shape
-        x, y, z = coords.geodetic2ecef(
-            gdlat.ravel(), jnp.asarray(gdlon).ravel(), jnp.asarray(gdalt).ravel()
-        )
-        R = jnp.stack([x, y, z], axis=-1)
+        shape = np.shape(gdlat)
+        R = self._ecef_for(gdlat, gdlon, gdalt)
         A = self.design_from_ecef(R)
         return A.reshape(shape + (self.nbasis,))
 
@@ -81,12 +94,8 @@ class Model:
         grad_n = -2 (R - c_n) / eps^2 * basis_n.  (The reference's version
         is commented out, radbasfun.py:115-152; implemented for real here.)
         """
-        gdlat = jnp.asarray(gdlat)
-        shape = gdlat.shape
-        x, y, z = coords.geodetic2ecef(
-            gdlat.ravel(), jnp.asarray(gdlon).ravel(), jnp.asarray(gdalt).ravel()
-        )
-        R = jnp.stack([x, y, z], axis=-1)  # [pts, 3]
+        shape = np.shape(gdlat)
+        R = self._ecef_for(gdlat, gdlon, gdalt)  # [pts, 3]
         A = self.design_from_ecef(R)  # [pts, nb]
         diff = R[:, :, None] - self.centers.T[None, :, :]  # [pts, 3, nb]
         G = -2.0 / self.eps**2 * diff * A[:, None, :]

@@ -230,29 +230,37 @@ class Model:
 
         return radial[:, self._d_k] * (self._d_kvm[None, :] * trig) * Pn
 
+    def _coords_for(self, gdlat, gdlon, gdalt):
+        """(z, t, p) flat arrays.  Concrete (eager) inputs transform on HOST
+        in exact float64 — TPU f64 trig is only f32-accurate and would
+        contaminate theta by ~3e-8 rad (~nu*3e-8 relative in P_nu).  Traced
+        inputs fall back to the on-device transform."""
+        try:
+            lat = np.asarray(gdlat, dtype=np.float64).ravel()
+            lon = np.asarray(gdlon, dtype=np.float64).ravel()
+            alt = np.asarray(gdalt, dtype=np.float64).ravel()
+        except Exception:  # tracer: stay on device
+            return self.transform_coord(
+                jnp.asarray(gdlat).ravel(),
+                jnp.asarray(gdlon).ravel(),
+                jnp.asarray(gdalt).ravel(),
+            )
+        z, t, p = coords.np_geodetic_to_cap(lat, lon, alt, self.latcp, self.loncp)
+        tmax = float(np.max(t)) if t.size else 0.0
+        if np.isfinite(tmax):
+            self.ensure_theta_domain(tmax)
+        return jnp.asarray(z), jnp.asarray(t), jnp.asarray(p)
+
     def basis(self, gdlat, gdlon, gdalt):
         """A[..., nbasis] at geodetic points (reference sphharmlag.py:118-145).
 
         Shape-preserving over arbitrary input dimensionality, like the
         reference's reshape/transpose dance at :142-145.
         """
-        gdlat = jnp.asarray(gdlat)
-        shape = gdlat.shape
-        z, t, p = self.transform_coord(
-            gdlat.ravel(), jnp.asarray(gdlon).ravel(), jnp.asarray(gdalt).ravel()
-        )
-        self._check_domain(t)
+        shape = np.shape(gdlat)
+        z, t, p = self._coords_for(gdlat, gdlon, gdalt)
         A = self.design_from_ztp(z, t, p)
         return A.reshape(shape + (self.nbasis,))
-
-    def _check_domain(self, t):
-        """Eagerly widen tables when called outside jit with concrete values."""
-        try:
-            tmax = float(jnp.max(t))
-        except (TypeError, jnp.linalg.LinAlgError, Exception):
-            return
-        if np.isfinite(tmax):
-            self.ensure_theta_domain(tmax)
 
     def grad_basis(self, gdlat, gdlon, gdalt):
         """Gradient of each basis function (reference sphharmlag.py:148-184).
@@ -262,12 +270,8 @@ class Model:
         The reference's stale commented-out evaluation path (estimate.py:
         125-147) is implemented for real in Estimate via these gradients.
         """
-        gdlat = jnp.asarray(gdlat)
-        shape = gdlat.shape
-        z, t, p = self.transform_coord(
-            gdlat.ravel(), jnp.asarray(gdlon).ravel(), jnp.asarray(gdalt).ravel()
-        )
-        self._check_domain(t)
+        shape = np.shape(gdlat)
+        z, t, p = self._coords_for(gdlat, gdlon, gdalt)
 
         x = jnp.cos(t)
         y = jnp.sin(t)

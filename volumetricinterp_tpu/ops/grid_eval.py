@@ -1,0 +1,210 @@
+"""Fused dense-grid evaluation of the fitted model (the Estimate hot path).
+
+Computes  out(x) = sum_n C_n B_n(x)  on arbitrary geodetic grids.  This is
+the performance-critical product path (BASELINE.json config 4: 512x512x128
+grids per record, target >= 1e9 points/s/chip), replacing the reference's
+per-basis scipy loop + einsum (estimate.py:113-115).
+
+Two TPU-first ideas make it fast:
+
+1. **Domain-restricted Chebyshev refit.**  The model's float64 Legendre
+   tables cover the whole possible colatitude range (degree ~200 at
+   maxl=6).  A real evaluation grid spans a narrow theta band (the radar
+   FoV, ~0.15 rad), over which the same functions need only degree ~40.
+   The evaluator refits the tables onto the requested band once (host,
+   seeded from the float64 tables), cutting per-point flops ~5x.
+
+2. **Vectorized Clenshaw on the VPU.**  All L(L+1)/2 Legendre pair
+   functions are evaluated simultaneously by one Clenshaw recurrence over a
+   [npairs, tile] block — no MXU padding waste on the small npairs
+   dimension (21 at maxl=6), ~4*D*npairs flops/point.  The radial Laguerre
+   contraction and all static scales (K_vm, the negative-m Gamma-ratio
+   suppression, docs/PARITY_NOTES.md #2) are folded into per-pair effective
+   coefficients, keeping float32 magnitudes sane.
+
+Implementations with identical math:
+  * 'xla'    — pure jnp (any backend; float64-capable)
+  * 'pallas' — float32 TPU kernel (ops/grid_eval_pallas.py)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import coords
+from ..tables import cheb_fit, cheb_nodes
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+class GridEvaluator:
+    """Reusable fused evaluator for one model + one theta band.
+
+    Parameters
+    ----------
+    model : models.sphharmlag.Model
+    theta_range : (lo, hi) radians — the band the evaluator must cover.
+        Queries outside the band return garbage (mask with the FoV hull,
+        which is what Estimate does).
+    dtype : jnp.float32 (kernel) or jnp.float64 (xla path only)
+    tol : Chebyshev truncation tolerance of the refit
+    impl : 'auto' | 'pallas' | 'xla'
+    """
+
+    def __init__(self, model, theta_range, dtype=jnp.float32, tol=3e-8,
+                 impl="auto"):
+        if impl in (None, "auto"):
+            impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.model = model
+        self.impl = impl
+        self.dtype = dtype
+        lo, hi = theta_range
+        pad = 0.02 * (hi - lo) + 1e-6
+        self.theta_lo = max(float(lo) - pad, 0.0)
+        self.theta_hi = min(float(hi) + pad, model.tables.theta_max)
+
+        # refit the shift-0 table columns onto the band (host, float64)
+        tbl = model.tables
+        npairs = tbl.npairs
+        n_nodes = 256
+        u = cheb_nodes(n_nodes)
+        theta = self.theta_lo + (u + 1.0) * 0.5 * (self.theta_hi - self.theta_lo)
+        vals = tbl.eval_all_np(theta)  # [nodes, 3*npairs]
+        vals0 = vals[:, 1::3]  # shift-0 columns, [nodes, npairs]
+        coef = cheb_fit(vals0)
+        sup = np.max(np.abs(vals0), axis=0)
+        sup = np.where(sup == 0, 1.0, sup)
+        D = n_nodes
+        for deg in range(8, n_nodes):
+            if np.all(np.max(np.abs(coef[deg:]) / sup, axis=0) < tol):
+                D = deg
+                break
+        self.degree = D
+        self.npairs = npairs
+        self.npairs_pad = _round_up(npairs, 8)
+        cpad = np.zeros((D, self.npairs_pad))
+        cpad[:, :npairs] = coef[:D]
+        self._coef = jnp.asarray(cpad.T.copy(), dtype=dtype)  # [npairs_pad, D]
+
+        # static index/scale arrays
+        maxl, maxk = model.maxl, model.maxk
+        self.maxl, self.maxk = maxl, maxk
+        self._mbar_pair = np.concatenate(
+            [np.arange(l + 1) for l in range(maxl)]
+        )  # [npairs]
+        # selector matrices [maxl, npairs_pad] mapping trig rows to pairs
+        sel = np.zeros((maxl, self.npairs_pad))
+        sel[self._mbar_pair, np.arange(npairs)] = 1.0
+        self._sel = jnp.asarray(sel, dtype=dtype)
+
+        self._scale = np.asarray(model._d_kvm) * np.asarray(model._d_negm)
+        self._k_n = model._k
+        self._m_n = model._m
+        self._pair_n = model._l * (model._l + 1) // 2 + model._mbar
+
+        self._jit_eval = jax.jit(self._eval_flat)
+
+    # -- per-record effective coefficients ------------------------------
+
+    def fold_coeffs(self, C):
+        """Ceff[2, npairs_pad, maxk]: branch 0 = cos (m>=0), 1 = sin (m<0)."""
+        C = np.asarray(C, dtype=np.float64).reshape(-1)
+        ceff = np.zeros((2, self.npairs_pad, self.maxk))
+        np.add.at(
+            ceff,
+            ((self._m_n < 0).astype(int), self._pair_n, self._k_n),
+            self._scale * C,
+        )
+        return jnp.asarray(ceff, dtype=self.dtype)
+
+    # -- evaluation ------------------------------------------------------
+
+    def _clenshaw_trig_radial(self, z, t, p, ceff):
+        """Pure-jnp fused evaluation on flat point arrays (the XLA path;
+        the Pallas kernel mirrors this math tile-by-tile)."""
+        dt_ = self.dtype
+        z = z.astype(dt_)
+        t = t.astype(dt_)
+        p = p.astype(dt_)
+        half = (self.theta_hi - self.theta_lo) * 0.5
+        u = (t - (self.theta_lo + half)) / half
+        u = jnp.clip(u, -1.0, 1.0)
+
+        # vectorized Clenshaw over all pairs: b [pts, npairs_pad]
+        c = self._coef  # [npairs_pad, D]
+        two_u = (2.0 * u)[:, None]
+        b1 = jnp.zeros((u.shape[0], self.npairs_pad), dt_)
+        b2 = jnp.zeros_like(b1)
+        for k in range(self.degree - 1, 0, -1):
+            b1, b2 = two_u * b1 - b2 + c[None, :, k], b1
+        P = u[:, None] * b1 - b2 + c[None, :, 0]  # [pts, npairs_pad]
+
+        mar = jnp.arange(self.maxl, dtype=dt_)
+        cosm = jnp.cos(p[:, None] * mar[None, :])  # [pts, maxl]
+        sinm = jnp.sin(p[:, None] * mar[None, :])
+        cos_p = cosm @ self._sel  # [pts, npairs_pad]
+        sin_p = sinm @ self._sel
+
+        # radial Laguerre rows [pts, maxk]
+        lk_prev = jnp.ones_like(z)
+        rows = [lk_prev]
+        if self.maxk > 1:
+            lk = 1.0 - z
+            rows.append(lk)
+            for kk in range(1, self.maxk - 1):
+                lk_next = ((2 * kk + 1 - z) * lk - kk * lk_prev) / (kk + 1.0)
+                lk_prev, lk = lk, lk_next
+                rows.append(lk)
+        lag = jnp.stack(rows, axis=-1)
+        ez = jnp.exp(-0.5 * z)
+
+        Rc = jnp.einsum("pk,jk->pj", lag, ceff[0])  # cos-branch [pts, npairs_pad]
+        Rs = jnp.einsum("pk,jk->pj", lag, ceff[1])
+        out = jnp.sum(P * (cos_p * Rc + sin_p * Rs), axis=-1)
+        return out * ez
+
+    def _eval_flat(self, ceff, lat, lon, alt):
+        z, t, p = coords.geodetic_to_cap(
+            lat, lon, alt, self.model.latcp, self.model.loncp
+        )
+        if self.impl == "pallas":
+            from .grid_eval_pallas import eval_ztp_pallas
+
+            return eval_ztp_pallas(
+                z.astype(self.dtype), t.astype(self.dtype),
+                p.astype(self.dtype), ceff, self,
+            )
+        return self._clenshaw_trig_radial(z, t, p, ceff)
+
+    def __call__(self, C, gdlat, gdlon, gdalt):
+        gdlat = jnp.asarray(gdlat)
+        shape = gdlat.shape
+        ceff = self.fold_coeffs(C)
+        out = self._jit_eval(
+            ceff,
+            jnp.asarray(gdlat, dtype=self.dtype).ravel(),
+            jnp.asarray(gdlon, dtype=self.dtype).ravel(),
+            jnp.asarray(gdalt, dtype=self.dtype).ravel(),
+        )
+        return out.reshape(shape)
+
+
+def grid_eval(model, C, gdlat, gdlon, gdalt, impl=None, dtype=jnp.float32):
+    """One-shot convenience wrapper (builds a GridEvaluator per call)."""
+    lat = np.asarray(gdlat, dtype=np.float64)
+    z, t, p = (
+        np.asarray(v)
+        for v in coords.geodetic_to_cap(
+            lat.ravel(), np.asarray(gdlon).ravel(), np.asarray(gdalt).ravel(),
+            model.latcp, model.loncp,
+        )
+    )
+    model.ensure_theta_domain(float(t.max()))
+    ev = GridEvaluator(
+        model, (float(t.min()), float(t.max())), dtype=dtype, impl=impl
+    )
+    return ev(C, gdlat, gdlon, gdalt)

@@ -55,12 +55,39 @@ def cheb_eval_matrix(u: jnp.ndarray, degree: int) -> jnp.ndarray:
 
     Closed form T_k(u) = cos(k arccos u): a single outer product + cos,
     which traces to 3 XLA ops regardless of degree (the unrolled three-term
-    recurrence compiles ~100x slower at degree ~200).  On TPU this feeds a
-    single matmul against the coefficient table.
+    recurrence compiles ~100x slower at degree ~200).  NOTE: on TPU the f64
+    trig is only f32-accurate; the accuracy-critical paths use
+    cheb_clenshaw() (polynomial ops only) instead.
     """
     u = jnp.clip(jnp.asarray(u), -1.0, 1.0)
     k = jnp.arange(degree, dtype=u.dtype)
     return jnp.cos(jnp.arccos(u)[..., None] * k)
+
+
+def cheb_clenshaw(u: jnp.ndarray, coef: jnp.ndarray) -> jnp.ndarray:
+    """sum_k coef[k, :] T_k(u) via Clenshaw, shape u.shape + (ncols,).
+
+    Polynomial adds/muls only — exact float64 even on TPU (where f64 trig is
+    f32-accurate, see coords.py).  The k-loop is a lax.fori_loop, so trace
+    size is independent of the degree.
+    """
+    from jax import lax
+
+    u = jnp.clip(jnp.asarray(u), -1.0, 1.0)
+    D, ncols = coef.shape
+    two_u = (2.0 * u)[..., None]
+    shape = u.shape + (ncols,)
+    b1 = jnp.zeros(shape, dtype=coef.dtype)
+    b2 = jnp.zeros(shape, dtype=coef.dtype)
+
+    def body(i, carry):
+        b1, b2 = carry
+        k = D - 1 - i
+        ck = lax.dynamic_index_in_dim(coef, k, axis=0, keepdims=False)
+        return two_u * b1 - b2 + ck, b1
+
+    b1, b2 = lax.fori_loop(0, D - 1, body, (b1, b2))
+    return u[..., None] * b1 - b2 + coef[0]
 
 
 @dataclass
@@ -93,10 +120,11 @@ class LegendreTables:
         return 2.0 * jnp.asarray(theta) / self.theta_max - 1.0
 
     def eval_all(self, theta) -> jnp.ndarray:
-        """All table functions at theta: shape theta.shape + (ncols,)."""
+        """All table functions at theta: shape theta.shape + (ncols,).
+
+        Clenshaw form: trig-free, so float64-exact on TPU too."""
         u = self.theta_to_u(theta)
-        T = cheb_eval_matrix(u, self.degree)
-        return T @ self.coef
+        return cheb_clenshaw(u, self.coef)
 
     def eval_all_np(self, theta: np.ndarray) -> np.ndarray:
         """Host (numpy) evaluation, for quadrature table building and tests."""
