@@ -1,0 +1,71 @@
+"""Validate workflow smoke test (headless PNG) and CLI entry points
+(SURVEY.md section 4, item 6)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from volumetricinterp_tpu import Validate
+from volumetricinterp_tpu.cli import main as cli_main
+from volumetricinterp_tpu.config import Config
+from volumetricinterp_tpu.io.synth import write_synthetic_amisr
+from volumetricinterp_tpu.models.sphharmlag import Model
+
+
+@pytest.fixture(scope="module")
+def validate_workspace(tmp_path_factory, small_config_text):
+    tmp = tmp_path_factory.mktemp("val")
+    raw = str(tmp / "synth.h5")
+    out = str(tmp / "coef.h5")
+    png = str(tmp / "fig.png")
+
+    cfg0 = Config.from_text(small_config_text)
+    write_synthetic_amisr(
+        raw, nrec=6, t0=1480286700.0, seed=21, smooth_in_model=Model(cfg0)
+    )
+    text = (
+        small_config_text.replace("test_input.h5", raw)
+        .replace("test_output.h5", out)
+        .replace("test_fig.png", png)
+        .replace(
+            "STARTTIME = 2016-11-27T22:45:00", "STARTTIME = 2016-11-27T22:45:00"
+        )
+    )
+    cfgfile = str(tmp / "config.ini")
+    with open(cfgfile, "w") as f:
+        f.write(text)
+    return dict(raw=raw, out=out, png=png, cfgfile=cfgfile)
+
+
+def test_validate_workflow(validate_workspace):
+    v = Validate(validate_workspace["cfgfile"])
+    v.interpolate()
+    v.create_plots()
+    assert os.path.exists(validate_workspace["png"])
+    assert os.path.getsize(validate_workspace["png"]) > 10_000
+
+
+def test_cli_fit(validate_workspace, tmp_path):
+    cli_main([validate_workspace["cfgfile"], "--profile"])
+    assert os.path.exists(validate_workspace["out"])
+
+
+def test_cli_window_and_resume(validate_workspace):
+    cli_main(
+        [
+            validate_workspace["cfgfile"],
+            "--starttime", "2016-11-27T22:45:00",
+            "--endtime", "2016-11-27T22:48:00",
+        ]
+    )
+    import h5py
+
+    with h5py.File(validate_workspace["out"], "r") as f:
+        nrec = f["/UnixTime"].shape[0]
+    assert nrec == 3  # 3 one-minute records inside the window
+
+
+def test_cli_validate_flag(validate_workspace):
+    cli_main([validate_workspace["cfgfile"], "--validate"])
+    assert os.path.exists(validate_workspace["png"])

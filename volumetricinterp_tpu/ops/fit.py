@@ -27,6 +27,47 @@ from . import regparam
 from .solve import final_solve, suff_stats
 
 
+def record_stats(values, errors, A):
+    """Masked sufficient statistics of one record (NaN -> zero weight)."""
+    mask = jnp.isfinite(values).astype(A.dtype)
+    W = jnp.where(mask > 0, errors, 1.0) ** (-2)
+    b = jnp.where(mask > 0, values, 0.0)
+    return suff_stats(A, b, W, mask)
+
+
+def fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method: str,
+                   manual_params=None):
+    """Fit one record from sufficient statistics (chi2/manual methods; GCV
+    needs per-point quantities, see fit_one_record).
+
+    Returns (C [nb], dC [nb, nb], chi2 [], reg_params [nreg])."""
+    nreg = reg_mats.shape[0]
+    if nreg == 0:
+        alphas = jnp.zeros((0,), dtype=AtWA.dtype)
+    elif method in ("manual", "prompt"):
+        alphas = jnp.asarray(manual_params, dtype=AtWA.dtype)
+    elif method == "chi2":
+        # reference semantics: each parameter solved with all others at
+        # zero (interpolate.py:120-124, 246-252)
+        alphas = jnp.stack([
+            regparam.chi2_reg_param(AtWA, AtWb, btWb, N, reg_mats[i])
+            for i in range(nreg)
+        ])
+    else:
+        raise ValueError(f"method {method!r} needs per-point data; "
+                         "use fit_one_record")
+
+    C, dC, chi2 = final_solve(AtWA, AtWb, btWb, reg_mats, alphas)
+
+    # NaN-fill failed records (interpolate.py:557-563)
+    bad = jnp.any(jnp.isnan(alphas)) if nreg > 0 else jnp.asarray(False)
+    nb = AtWA.shape[-1]
+    C = jnp.where(bad, jnp.full((nb,), jnp.nan, dtype=C.dtype), C)
+    dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dtype=dC.dtype), dC)
+    chi2 = jnp.where(bad, jnp.nan, chi2)
+    return C, dC, chi2, alphas
+
+
 def fit_one_record(values, errors, A, reg_mats, method: str,
                    manual_params=None):
     """Fit a single record.  values/errors: [npoints]; A: [npoints, nbasis];
@@ -34,43 +75,28 @@ def fit_one_record(values, errors, A, reg_mats, method: str,
 
     Returns (C [nb], dC [nb, nb], chi2 [], reg_params [nreg]).
     """
-    mask = jnp.isfinite(values).astype(A.dtype)
-    W = jnp.where(mask > 0, errors, 1.0) ** (-2)
-    b = jnp.where(mask > 0, values, 0.0)
-    AtWA, AtWb, btWb, N = suff_stats(A, b, W, mask)
+    AtWA, AtWb, btWb, N = record_stats(values, errors, A)
 
     nreg = reg_mats.shape[0]
-    if nreg == 0:
-        alphas = jnp.zeros((0,), dtype=A.dtype)
-    elif method in ("manual", "prompt"):
-        alphas = jnp.asarray(manual_params, dtype=A.dtype)
-    else:
-        found = []
-        for i in range(nreg):
-            # reference semantics: each parameter solved with all others
-            # at zero (interpolate.py:120-124, 246-252)
-            if method == "chi2":
-                found.append(
-                    regparam.chi2_reg_param(AtWA, AtWb, btWb, N, reg_mats[i])
-                )
-            elif method == "gcv":
-                Wm = jnp.where(mask > 0, W, 0.0)
-                found.append(
-                    regparam.gcv_reg_param(AtWA, AtWb, reg_mats[i], A, b, Wm, mask)
-                )
-            else:
-                raise ValueError(f"unknown regularization method {method!r}")
-        alphas = jnp.stack(found)
+    if method == "gcv" and nreg > 0:
+        mask = jnp.isfinite(values).astype(A.dtype)
+        W = jnp.where(mask > 0, errors, 1.0) ** (-2)
+        b = jnp.where(mask > 0, values, 0.0)
+        Wm = jnp.where(mask > 0, W, 0.0)
+        alphas = jnp.stack([
+            regparam.gcv_reg_param(AtWA, AtWb, reg_mats[i], A, b, Wm, mask)
+            for i in range(nreg)
+        ])
+        C, dC, chi2 = final_solve(AtWA, AtWb, btWb, reg_mats, alphas)
+        bad = jnp.any(jnp.isnan(alphas))
+        nb = A.shape[1]
+        C = jnp.where(bad, jnp.full((nb,), jnp.nan, dtype=C.dtype), C)
+        dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dtype=dC.dtype), dC)
+        chi2 = jnp.where(bad, jnp.nan, chi2)
+        return C, dC, chi2, alphas
 
-    C, dC, chi2 = final_solve(AtWA, AtWb, btWb, reg_mats, alphas)
-
-    # NaN-fill failed records (interpolate.py:557-563)
-    bad = jnp.any(jnp.isnan(alphas)) if nreg > 0 else jnp.asarray(False)
-    nb = A.shape[1]
-    C = jnp.where(bad, jnp.full((nb,), jnp.nan, dtype=C.dtype), C)
-    dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dtype=dC.dtype), dC)
-    chi2 = jnp.where(bad, jnp.nan, chi2)
-    return C, dC, chi2, alphas
+    return fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method,
+                          manual_params)
 
 
 @partial(jax.jit, static_argnames=("method",))
