@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Benchmark: prints ONE JSON line with the headline metric.
+
+Headline: dense grid-evaluation points/s/chip at the reference default basis
+order (MAXL=6, MAXK=4 -> nbasis=144) through the fused float32 Pallas path —
+BASELINE.md target: >= 1e9 points/s/chip on TPU v5e (vs_baseline is measured
+against that target; the reference itself publishes no numbers and its
+serial scipy pipeline is ~6 orders of magnitude slower).
+
+Extras: batched record fits/s (chi2 regularization search included) and the
+per-phase timings.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+    from volumetricinterp_tpu.config import Config
+    from volumetricinterp_tpu.models.sphharmlag import Model
+    from volumetricinterp_tpu.ops.fit import fit_records
+    from volumetricinterp_tpu.ops.grid_eval import GridEvaluator
+    from volumetricinterp_tpu import coords
+
+    backend = jax.default_backend()
+    cfg_text = """
+[DEFAULT]
+REGULARIZATION_LIST = 0thorder
+REGULARIZATION_METHOD = chi2
+[MODEL]
+NAME = sphharmlag
+MAXK = 4
+MAXL = 6
+CAP_LIM = 10
+MAX_Z_INT = INF
+LATCP = 78
+LONCP = 262
+[TPU]
+QUAD_MODE = gauss
+"""
+    model = Model(Config.from_text(cfg_text))
+    rng = np.random.default_rng(0)
+
+    # ---- headline: dense grid evaluation (BASELINE config 4 shape) -------
+    nlat, nlon, nalt = 512, 512, 32  # 8.4M points per call
+    glat, glon, galt = np.meshgrid(
+        np.linspace(74.0, 82.0, nlat),
+        np.linspace(252.0, 272.0, nlon),
+        np.linspace(1.0e5, 6.0e5, nalt),
+    )
+    n = glat.size
+    z, t, p = coords.np_geodetic_to_cap(
+        glat.ravel(), glon.ravel(), galt.ravel(), model.latcp, model.loncp
+    )
+    ev = GridEvaluator(model, (float(t.min()), float(t.max())), impl="auto")
+    C = rng.normal(size=model.nbasis) * 1e11
+    ceff = ev.fold_coeffs(C)
+    lat_d = jnp.asarray(glat.ravel(), dtype=ev.dtype)
+    lon_d = jnp.asarray(glon.ravel(), dtype=ev.dtype)
+    alt_d = jnp.asarray(galt.ravel(), dtype=ev.dtype)
+
+    out = ev._jit_eval(ceff, lat_d, lon_d, alt_d)
+    out.block_until_ready()  # compile + warm
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = ev._jit_eval(ceff, lat_d, lon_d, alt_d)
+    out.block_until_ready()
+    dt_eval = (time.perf_counter() - t0) / reps
+    pts_per_s = n / dt_eval
+
+    # ---- secondary: batched fits/s (chi2 search, nbasis=144) -------------
+    npts, nrec = 2400, 128
+    lat = rng.uniform(74.0, 82.0, npts)
+    lon = rng.uniform(252.0, 272.0, npts)
+    alt = rng.uniform(1.0e5, 6.0e5, npts)
+    A = np.asarray(model.basis(lat, lon, alt))
+    target = 4e11 * np.exp(-(((alt - 3e5) / 1.2e5) ** 2))
+    C_true = np.linalg.lstsq(A, target, rcond=1e-10)[0]
+    ne = A @ C_true
+    noise = 2e10 + 0.05 * np.abs(ne)
+    values = ne[None] + rng.normal(0, 1, (nrec, npts)) * noise[None]
+    errors = np.broadcast_to(1.15 * noise, (nrec, npts)).copy()
+    psi = np.asarray(model.eval_psi())
+    reg_mats = jnp.asarray(psi)[None]
+    v_d, e_d, A_d = jnp.asarray(values), jnp.asarray(errors), jnp.asarray(A)
+
+    r0 = fit_records(v_d, e_d, A_d, reg_mats, method="chi2")
+    r0[0].block_until_ready()
+    t0 = time.perf_counter()
+    r1 = fit_records(v_d, e_d, A_d, reg_mats, method="chi2")
+    r1[0].block_until_ready()
+    dt_fit = time.perf_counter() - t0
+    fits_per_s = nrec / dt_fit
+
+    target_pts = 1.0e9
+    print(json.dumps({
+        "metric": "grid-evaluation points/s/chip (lmax=6, nbasis=144, f32 fused)",
+        "value": round(pts_per_s, 1),
+        "unit": "points/s/chip",
+        "vs_baseline": round(pts_per_s / target_pts, 4),
+        "extras": {
+            "backend": backend,
+            "grid_points_per_call": n,
+            "grid_eval_s": round(dt_eval, 5),
+            "record_fits_per_s_chi2": round(fits_per_s, 2),
+            "fit_batch": [nrec, npts],
+            "eval_impl": ev.impl,
+            "cheb_degree_eval": ev.degree,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

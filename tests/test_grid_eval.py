@@ -1,0 +1,78 @@
+"""Fused grid evaluator: XLA path, Pallas kernel (interpret mode on CPU),
+domain-restricted refit correctness."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from volumetricinterp_tpu import coords
+from volumetricinterp_tpu.config import Config
+from volumetricinterp_tpu.models.sphharmlag import Model
+from volumetricinterp_tpu.ops.grid_eval import GridEvaluator
+
+
+@pytest.fixture(scope="module")
+def model(small_config_text):
+    # default production order for the hot path
+    text = small_config_text.replace("MAXK = 2", "MAXK = 4").replace(
+        "MAXL = 3", "MAXL = 6"
+    )
+    return Model(Config.from_text(text))
+
+
+@pytest.fixture(scope="module")
+def points(model):
+    rng = np.random.default_rng(9)
+    n = 8192
+    lat = rng.uniform(74, 82, n)
+    lon = rng.uniform(252, 272, n)
+    alt = rng.uniform(1e5, 6e5, n)
+    z, t, p = coords.np_geodetic_to_cap(lat, lon, alt, model.latcp, model.loncp)
+    C = rng.normal(size=model.nbasis) * 1e11
+    truth = np.asarray(model.basis(lat, lon, alt)) @ C
+    return lat, lon, alt, (t.min(), t.max()), C, truth
+
+
+def test_xla_f32_matches_f64(model, points):
+    lat, lon, alt, trange, C, truth = points
+    ev = GridEvaluator(model, trange, impl="xla")
+    out = np.asarray(ev(C, lat, lon, alt))
+    scale = np.max(np.abs(truth))
+    assert np.max(np.abs(out - truth)) < 5e-5 * scale
+
+
+def test_xla_f64_matches_basis_path(model, points):
+    lat, lon, alt, trange, C, truth = points
+    ev = GridEvaluator(model, trange, impl="xla", dtype=jnp.float64, tol=1e-13)
+    out = np.asarray(ev(C, lat, lon, alt))
+    scale = np.max(np.abs(truth))
+    assert np.max(np.abs(out - truth)) < 1e-9 * scale
+
+
+def test_pallas_interpret_matches_xla(model, points):
+    lat, lon, alt, trange, C, truth = points
+    ev_x = GridEvaluator(model, trange, impl="xla")
+    ev_p = GridEvaluator(model, trange, impl="pallas")
+    out_x = np.asarray(ev_x(C, lat, lon, alt))
+    with pltpu.force_tpu_interpret_mode():
+        out_p = np.asarray(ev_p(C, lat, lon, alt))
+    scale = np.max(np.abs(truth))
+    assert np.max(np.abs(out_p - out_x)) < 5e-6 * scale
+
+
+def test_domain_refit_is_small(model, points):
+    """The band refit must cut the Chebyshev degree well below the full
+    table's (the 5x flop reduction the kernel relies on)."""
+    lat, lon, alt, trange, C, truth = points
+    ev = GridEvaluator(model, trange, impl="xla")
+    assert ev.degree < model.tables.degree / 3
+    assert ev.degree >= 8
+
+
+def test_shape_preservation(model, points):
+    lat, lon, alt, trange, C, truth = points
+    ev = GridEvaluator(model, trange, impl="xla")
+    out = ev(C, lat[:60].reshape(3, 4, 5), lon[:60].reshape(3, 4, 5),
+             alt[:60].reshape(3, 4, 5))
+    assert out.shape == (3, 4, 5)

@@ -144,13 +144,30 @@ class Estimate:
 
         Same result as __call__ to ~1e-5 relative (float32); use __call__
         for float64 accuracy.  impl: None/'auto' -> pallas on TPU else XLA.
+        The fused evaluator is cached per colatitude band, so repeated calls
+        on the same grid family (e.g. per-record keogram products) reuse the
+        compiled kernel.
         """
-        from .ops.grid_eval import grid_eval as _grid_eval
+        from . import coords as _coords
+        from .ops.grid_eval import GridEvaluator
 
         C, _ = self.get_C(time)
-        out = _grid_eval(self.model, jnp.asarray(C), gdlat, gdlon, gdalt,
-                         impl=impl)
+        lat = np.asarray(gdlat, dtype=np.float64)
+        _, t, _ = _coords.np_geodetic_to_cap(
+            lat.ravel(), np.asarray(gdlon).ravel(), np.asarray(gdalt).ravel(),
+            self.model.latcp, self.model.loncp,
+        )
+        lo, hi = float(t.min()), float(t.max())
+        ev = getattr(self, "_grid_ev", None)
+        if ev is None or ev.impl_requested != impl or not (
+            ev.theta_lo <= lo and hi <= ev.theta_hi
+        ):
+            self.model.ensure_theta_domain(hi)
+            ev = GridEvaluator(self.model, (lo, hi), impl=impl)
+            ev.impl_requested = impl
+            self._grid_ev = ev
+        out = ev(C, gdlat, gdlon, gdalt)
         if check_hull:
             inside = hull_mask(self._hull_eqs, gdlat, gdlon, gdalt)
-            out = jnp.where(inside, out, jnp.nan)
+            out = jnp.where(inside, np.asarray(out), jnp.nan)
         return np.asarray(out)

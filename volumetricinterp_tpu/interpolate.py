@@ -230,20 +230,41 @@ class Interpolate:
             if names:
                 rp_all[:start0] = writer.f["FitParams/reg_params"][:start0]
 
+        # mesh-parallel path when multiple devices are available/configured
+        import jax as _jax
+
+        mesh = None
+        ndev = len(_jax.devices())
+        if ndev > 1 or self.config.tpu.mesh_records > 1 \
+                or self.config.tpu.mesh_points > 1:
+            from .parallel import make_mesh
+
+            mesh = make_mesh(self.config.tpu.mesh_records,
+                             self.config.tpu.mesh_points)
+
         with self.timer.phase("fit_records"):
             for s in range(start0, nrec, chunk):
                 e = min(s + chunk, nrec)
-                C, dC, c2, rp = fit_records(
-                    jnp.asarray(value[s:e]),
-                    jnp.asarray(error[s:e]),
-                    jnp.asarray(A),
-                    reg_mats,
-                    method=method,
-                    manual_params=(
-                        jnp.asarray(manual_params) if manual_params is not None
-                        else None
-                    ),
+                mp = (
+                    jnp.asarray(manual_params) if manual_params is not None
+                    else None
                 )
+                if mesh is not None:
+                    from .parallel import fit_records_sharded
+
+                    C, dC, c2, rp = fit_records_sharded(
+                        value[s:e], error[s:e], A, reg_mats, mesh,
+                        method=method, manual_params=mp,
+                    )
+                else:
+                    C, dC, c2, rp = fit_records(
+                        jnp.asarray(value[s:e]),
+                        jnp.asarray(error[s:e]),
+                        jnp.asarray(A),
+                        reg_mats,
+                        method=method,
+                        manual_params=mp,
+                    )
                 C_all[s:e] = np.asarray(C)
                 dC_all[s:e] = np.asarray(dC)
                 c2_all[s:e] = np.asarray(c2)
