@@ -180,7 +180,9 @@ def test_fit_records_match_oracle(model, design, records, method):
         # calcerr path consumes)
         e1 = np.einsum("pi,ij,pj->p", design, dC[r], design)
         e2 = np.einsum("pi,ij,pj->p", design, dC_ref, design)
-        assert np.max(np.abs(e1 - e2)) < max(tol, 1e-8) * np.max(np.abs(e2)), r
+        # variance is quadratic in the near-cutoff directions, doubling the
+        # alpha-noise amplification relative to the field metric
+        assert np.max(np.abs(e1 - e2)) < max(5 * tol, 1e-8) * np.max(np.abs(e2)), r
 
         # fitted field parity at the data points (stable in all directions)
         y1, y2 = design @ C[r], design @ C_ref

@@ -119,6 +119,33 @@ class Interpolate:
                 )
         return out
 
+    # thin reference-surface aliases (interpolate.py:152,263,353,383): the
+    # per-method entry points all route through find_reg_param's machinery
+    def chi2(self, A, b, W, reg_matrices, reg):
+        return self.find_reg_param(A, b, W, reg_matrices, method="chi2")[reg]
+
+    def gcv(self, A, b, W, reg_matrices, reg):
+        return self.find_reg_param(A, b, W, reg_matrices, method="gcv")[reg]
+
+    def manual(self, A, b, W, reg_matrices, reg):
+        return regparam_mod.manual_reg_param(reg)
+
+    def prompt(self, A, b, W, reg_matrices, reg):
+        return float(input(f"Enter {reg} regularization parameter: "))
+
+    def chi2objfunct(self, alpha, A, b, W, reg_matrices, nu, reg):
+        """chi^2(10^alpha) - nu with all other regs at zero
+        (interpolate.py:220-261)."""
+        from .ops.solve import cutoff_chi2
+
+        A = jnp.asarray(A)
+        b = jnp.asarray(b).ravel()
+        W = jnp.asarray(W).ravel()
+        mask = jnp.isfinite(b).astype(A.dtype)
+        AtWA, AtWb, btWb, _ = suff_stats(A, b, W, mask)
+        R = jnp.asarray(reg_matrices[reg])
+        return float(cutoff_chi2(10.0**alpha, AtWA, AtWb, btWb, R)) - nu
+
     def compute_hull(self, lat, lon, alt):
         """Reference interpolate.py:409-426; sets self.hull_vert."""
         self.hull_vert = compute_hull_vertices(lat, lon, alt)

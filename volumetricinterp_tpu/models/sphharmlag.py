@@ -74,10 +74,7 @@ class Model:
         # around 2*theta0 — far outside cap_lim.  We reproduce the rotation
         # verbatim and size the table domain accordingly; basis() widens it
         # adaptively if points fall beyond.
-        x0, y0, z0 = (
-            np.asarray(v)
-            for v in coords.geodetic2ecef(self.latcp, self.loncp, 0.0)
-        )
+        x0, y0, z0 = coords.np_geodetic2ecef(self.latcp, self.loncp, 0.0)
         theta0 = float(np.arccos(z0 / np.sqrt(x0**2 + y0**2 + z0**2)))
         default_domain = min(
             2.0 * theta0 + cfg.tpu.table_domain_factor * self.cap_lim,
@@ -97,6 +94,15 @@ class Model:
             "0thorder": self.eval_psi,
         }
         self.eval_reg_matrices = self.eval_reg_matricies
+
+        # jitted design-matrix entry (retraces per input shape; eager
+        # execution would remote-compile every op through the TPU tunnel).
+        # The Chebyshev table and its domain are ARGUMENTS, not closed-over
+        # constants, so ensure_theta_domain() rebuilds stay visible.
+        import jax as _jax
+
+        self._design_jit = _jax.jit(self._design_core)
+        self._grad_jit = _jax.jit(self._grad_core)
 
     # ------------------------------------------------------------------
     # static index / scale tables
@@ -143,18 +149,20 @@ class Model:
         self._col_p1 = 3 * pair + 2
         self._is_cos = (m >= 0).astype(np.float64)
 
-        # device copies
-        self._d_k = jnp.asarray(k)
-        self._d_mbar = jnp.asarray(mbar)
-        self._d_col_0 = jnp.asarray(self._col_0)
-        self._d_col_p1 = jnp.asarray(self._col_p1)
-        self._d_scale = jnp.asarray(kvm * self._negm_scale)  # Az * neg-m fold
-        self._d_negm = jnp.asarray(self._negm_scale)
-        self._d_negm_p1 = jnp.asarray(self._negm_scale_p1)
-        self._d_kvm = jnp.asarray(kvm)
-        self._d_is_cos = jnp.asarray(self._is_cos)
-        self._d_m = jnp.asarray(m.astype(np.float64))
-        self._d_nu = jnp.asarray(nu)
+        # static lookup tables, kept as HOST numpy: inside jit they become
+        # baked-in constants (one transfer with the executable), and eager
+        # per-array device puts through the tunnelled TPU cost seconds each
+        self._d_k = k
+        self._d_mbar = mbar
+        self._d_col_0 = self._col_0
+        self._d_col_p1 = self._col_p1
+        self._d_scale = kvm * self._negm_scale  # Az * neg-m fold
+        self._d_negm = self._negm_scale
+        self._d_negm_p1 = self._negm_scale_p1
+        self._d_kvm = kvm
+        self._d_is_cos = self._is_cos
+        self._d_m = m.astype(np.float64)
+        self._d_nu = nu
 
     # ------------------------------------------------------------------
     # reference-parity helpers (sphharmlag.py:79-115, 263-321)
@@ -210,11 +218,18 @@ class Model:
         Laguerre recurrence for the radial part, trig gathers for phi.
         """
         tbl = self.tables if tables is None else tables
+        return self._design_core(z, t, p, jnp.asarray(tbl.coef_np),
+                                 tbl.theta_max)
+
+    def _design_core(self, z, t, p, coef, theta_max):
+        from ..tables import cheb_clenshaw
+
         z = jnp.asarray(z).ravel()
         t = jnp.asarray(t).ravel()
         p = jnp.asarray(p).ravel()
 
-        P = tbl.eval_all(t)  # [pts, 3*npairs]
+        u = 2.0 * t / theta_max - 1.0
+        P = cheb_clenshaw(u, coef)  # [pts, 3*npairs]
         Pn = P[:, self._d_col_0] * self._d_negm[None, :]  # [pts, nbasis]
 
         lag = special.laguerre_all(self.maxk - 1, z)  # [pts, maxk]
@@ -259,7 +274,8 @@ class Model:
         """
         shape = np.shape(gdlat)
         z, t, p = self._coords_for(gdlat, gdlon, gdalt)
-        A = self.design_from_ztp(z, t, p)
+        A = self._design_jit(z, t, p, jnp.asarray(self.tables.coef_np),
+                             self.tables.theta_max)
         return A.reshape(shape + (self.nbasis,))
 
     def grad_basis(self, gdlat, gdlon, gdalt):
@@ -272,12 +288,19 @@ class Model:
         """
         shape = np.shape(gdlat)
         z, t, p = self._coords_for(gdlat, gdlon, gdalt)
+        G = self._grad_jit(z, t, p, jnp.asarray(self.tables.coef_np),
+                           self.tables.theta_max)
+        return G.reshape(shape + (3, self.nbasis))
+
+    def _grad_core(self, z, t, p, coef, theta_max):
+        from ..tables import cheb_clenshaw
 
         x = jnp.cos(t)
         y = jnp.sin(t)
         e = jnp.exp(-0.5 * z)
 
-        P = self.tables.eval_all(t)
+        u = 2.0 * t / theta_max - 1.0
+        P = cheb_clenshaw(u, coef)
         Pmv = P[:, self._d_col_0] * self._d_negm[None, :]
         Pmv1 = P[:, self._d_col_p1] * self._d_negm_p1[None, :]
 
@@ -319,8 +342,39 @@ class Model:
         )
         phat = e[:, None] * L0 * Pmv * dA_az / denom
 
-        G = jnp.stack([zhat, that, phat], axis=-2)  # [pts, 3, nbasis]
-        return G.reshape(shape + (3, self.nbasis))
+        return jnp.stack([zhat, that, phat], axis=-2)  # [pts, 3, nbasis]
+
+    def inverse_transform(self, gdlat, gdlon, gdalt, vec):
+        """Rotate vectors from cap-frame spherical components back to ECEF.
+
+        vec[..., 3]: (r-hat, theta-hat, phi-hat) components at the given
+        geodetic points (e.g. grad_basis contractions; grad_basis' z-hat
+        component already includes the 100/RE stretch factor, making it the
+        physical d/dr component).  Returns ECEF (x, y, z) components.
+
+        The reference's inverse_transform (sphharmlag.py:363-395) is stale
+        (undefined `cc` module and `self.cp`); this is the working
+        implementation of the same operation.
+        """
+        shape = np.shape(gdlat)
+        z, t, p = self._coords_for(gdlat, gdlon, gdalt)
+        vec = jnp.asarray(vec).reshape((-1, 3))
+
+        st, ct = jnp.sin(t), jnp.cos(t)
+        sp_, cp_ = jnp.sin(p), jnp.cos(p)
+        rhat = jnp.stack([st * cp_, st * sp_, ct], axis=-1)
+        that = jnp.stack([ct * cp_, ct * sp_, -st], axis=-1)
+        phat = jnp.stack([-sp_, cp_, jnp.zeros_like(sp_)], axis=-1)
+        v_rot = (
+            vec[:, 0:1] * rhat + vec[:, 1:2] * that + vec[:, 2:3] * phat
+        )  # cartesian, rotated frame
+
+        # undo the +theta0 rotation (docs/PARITY_NOTES.md #1)
+        k, theta0 = coords.cap_rotation_axis_angle(self.latcp, self.loncp)
+        vx, vy, vz = coords.rodrigues_rotate(
+            k, -theta0, v_rot[:, 0], v_rot[:, 1], v_rot[:, 2]
+        )
+        return jnp.stack([vx, vy, vz], axis=-1).reshape(shape + (3,))
 
     # ------------------------------------------------------------------
     # regularization matrices (separable 1-D integral tables)

@@ -88,7 +88,9 @@ class GridEvaluator:
         self.npairs_pad = _round_up(npairs, 8)
         cpad = np.zeros((D, self.npairs_pad))
         cpad[:, :npairs] = coef[:D]
-        self._coef = jnp.asarray(cpad.T.copy(), dtype=dtype)  # [npairs_pad, D]
+        # host-side constants (baked into the jitted program; eager device
+        # puts through a tunnelled TPU cost seconds each)
+        self._coef = np.ascontiguousarray(cpad.T, dtype=np.dtype(dtype))  # [npairs_pad, D]
 
         # static index/scale arrays
         maxl, maxk = model.maxl, model.maxk
@@ -97,9 +99,9 @@ class GridEvaluator:
             [np.arange(l + 1) for l in range(maxl)]
         )  # [npairs]
         # selector matrices [maxl, npairs_pad] mapping trig rows to pairs
-        sel = np.zeros((maxl, self.npairs_pad))
+        sel = np.zeros((maxl, self.npairs_pad), dtype=np.dtype(dtype))
         sel[self._mbar_pair, np.arange(npairs)] = 1.0
-        self._sel = jnp.asarray(sel, dtype=dtype)
+        self._sel = sel
 
         self._scale = np.asarray(model._d_kvm) * np.asarray(model._d_negm)
         self._k_n = model._k
@@ -135,7 +137,7 @@ class GridEvaluator:
         u = jnp.clip(u, -1.0, 1.0)
 
         # vectorized Clenshaw over all pairs: b [pts, npairs_pad]
-        c = self._coef  # [npairs_pad, D]
+        c = jnp.asarray(self._coef)  # [npairs_pad, D] constant under jit
         two_u = (2.0 * u)[:, None]
         b1 = jnp.zeros((u.shape[0], self.npairs_pad), dt_)
         b2 = jnp.zeros_like(b1)

@@ -109,24 +109,30 @@ def eval_ztp_pallas(z, t, p, ceff, ev):
         theta_hi=float(ev.theta_hi),
     )
 
-    point_spec = pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
+    # np.int32 literals: under jax_enable_x64 a bare python 0 becomes an
+    # int64 constant in the index map, which Mosaic refuses to lower
+    zero = np.int32(0)
+    point_spec = pl.BlockSpec((1, SUB, LANES), lambda i: (i, zero, zero),
                               memory_space=pltpu.VMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    out = pl.pallas_call(
-        kern,
-        grid=(ntiles,),
-        in_specs=[point_spec, point_spec, point_spec, vmem, smem, smem],
-        out_specs=pl.BlockSpec((1, SUB, LANES), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ntiles, SUB, LANES), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * ev.degree * ev.npairs_pad * npad,
-            bytes_accessed=4 * 4 * npad,
-            transcendentals=4 * npad,
-        ),
-    )(zp, tp_, pp, coef4,
-      ceff[0].astype(jnp.float32), ceff[1].astype(jnp.float32))
+    # x64 disabled inside the kernel trace: with jax_enable_x64 on, literal
+    # indices in block index maps become int64, which Mosaic cannot lower
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kern,
+            grid=(ntiles,),
+            in_specs=[point_spec, point_spec, point_spec, vmem, smem, smem],
+            out_specs=pl.BlockSpec((1, SUB, LANES), lambda i: (i, zero, zero),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ntiles, SUB, LANES), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * ev.degree * ev.npairs_pad * npad,
+                bytes_accessed=4 * 4 * npad,
+                transcendentals=4 * npad,
+            ),
+        )(zp, tp_, pp, jnp.asarray(coef4),
+          ceff[0].astype(jnp.float32), ceff[1].astype(jnp.float32))
 
     return out.reshape(npad)[:n]

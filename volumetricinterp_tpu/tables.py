@@ -103,8 +103,10 @@ class LegendreTables:
     cap_lim: float  # radians
     theta_max: float  # table domain upper end (radians)
     degree: int  # number of Chebyshev coefficients kept
-    coef: jnp.ndarray  # [degree, 3 * maxl(maxl+1)/2] float64
-    coef_np: np.ndarray  # host copy
+    coef_np: np.ndarray  # [degree, 3 * maxl(maxl+1)/2] float64, HOST-side
+    # (device copies are never made eagerly: inside jit the table becomes a
+    # baked-in constant, and eager device puts through a tunnelled TPU are
+    # expensive)
 
     @property
     def npairs(self) -> int:
@@ -124,7 +126,7 @@ class LegendreTables:
 
         Clenshaw form: trig-free, so float64-exact on TPU too."""
         u = self.theta_to_u(theta)
-        return cheb_clenshaw(u, self.coef)
+        return cheb_clenshaw(u, jnp.asarray(self.coef_np))
 
     def eval_all_np(self, theta: np.ndarray) -> np.ndarray:
         """Host (numpy) evaluation, for quadrature table building and tests."""
@@ -196,6 +198,5 @@ def build_legendre_tables(
         cap_lim=cap_lim,
         theta_max=float(theta_max),
         degree=degree,
-        coef=jnp.asarray(coef_np),
         coef_np=coef_np,
     )
