@@ -70,13 +70,18 @@ QUAD_MODE = gauss
     lon_d = jnp.asarray(glon.ravel(), dtype=ev.dtype)
     alt_d = jnp.asarray(galt.ravel(), dtype=ev.dtype)
 
+    def sync(x):
+        # through the axon tunnel block_until_ready can return before the
+        # computation finishes; a value fetch is the reliable fence
+        return float(np.asarray(x[:1])[0])
+
     out = ev._jit_eval(ceff, lat_d, lon_d, alt_d)
-    out.block_until_ready()  # compile + warm
-    reps = 5
+    sync(out)  # compile + warm
+    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         out = ev._jit_eval(ceff, lat_d, lon_d, alt_d)
-    out.block_until_ready()
+        sync(out)
     dt_eval = (time.perf_counter() - t0) / reps
     pts_per_s = n / dt_eval
 
@@ -97,10 +102,10 @@ QUAD_MODE = gauss
     v_d, e_d, A_d = jnp.asarray(values), jnp.asarray(errors), jnp.asarray(A)
 
     r0 = fit_records(v_d, e_d, A_d, reg_mats, method="chi2")
-    r0[0].block_until_ready()
+    sync(r0[2])
     t0 = time.perf_counter()
     r1 = fit_records(v_d, e_d, A_d, reg_mats, method="chi2")
-    r1[0].block_until_ready()
+    sync(r1[2])
     dt_fit = time.perf_counter() - t0
     fits_per_s = nrec / dt_fit
 

@@ -238,7 +238,9 @@ class Interpolate:
         with self.timer.phase("design_matrix"):
             A = self.model.basis(lat, lon, alt)
 
-        chunk = self.config.tpu.chunk_size or nrec
+        # default chunk bounds peak memory of the batched-eigh alpha search
+        # (~31 concurrent eigh instances per record in flight)
+        chunk = self.config.tpu.chunk_size or min(nrec, 256) or 1
         writer = None
         start0 = 0
         if resume and self.outputfilename and os.path.exists(self.outputfilename):

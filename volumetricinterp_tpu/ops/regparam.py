@@ -42,7 +42,9 @@ from .solve import cutoff_chi2, sym_pinv_apply
 # reference constants (interpolate.py:173, 199-202)
 SCALE_FACTORS = (0.6, 0.7, 0.8, 0.9, 1.0)
 ALPHA_MIN = -100.0
-N_BISECT = 100
+GRID_CHUNK = 16  # alphas evaluated per sequential round (batched eigh)
+KSECTION = 31  # interior points per root-refinement round
+N_KSECTION = 9  # rounds: bracket width 1 -> 32^-9 ~ 3e-14 (< brentq xtol)
 
 
 def chi2_reg_param(AtWA, AtWb, btWb, N, R):
@@ -50,20 +52,37 @@ def chi2_reg_param(AtWA, AtWb, btWb, N, R):
 
     Inputs are the record's sufficient statistics plus the reg matrix R.
     Every chi^2(alpha) evaluation uses the reference's exact lstsq-cutoff
-    solve semantics (solve.cutoff_chi2); evaluations are batched over the
-    static alpha grid with lax.map so memory stays O(nbasis^2) per record.
+    solve semantics (solve.cutoff_chi2).
+
+    TPU scheduling: sequential depth is what costs wall-clock (each round is
+    one batched-eigh kernel when this function is vmapped over records), so
+    the 101-point bracket grid is evaluated GRID_CHUNK alphas per round and
+    Brent/bisection is replaced by KSECTION-point interval subdivision —
+    ~13 sequential rounds instead of 201, converging to the same root of
+    the monotone objective to ~3e-14 in log10(alpha) (tighter than brentq's
+    default xtol = 2e-12, interpolate.py:214).
 
     Returns the regularization parameter itself (NOT log10): 0.0 for the
     "too smooth" early exit (interpolate.py:189-191), NaN when no bracket
     exists in (1e-100, 1] for any scale factor (interpolate.py:210-211).
     """
-    # chi^2 on the static alpha grid 0, -1, ..., -100
-    alphas = -jnp.arange(0.0, -ALPHA_MIN + 1.0, dtype=btWb.dtype)  # [101]
-    chi2_grid = lax.map(
-        lambda a: cutoff_chi2(10.0**a, AtWA, AtWb, btWb, R), alphas
-    )
+    dt = btWb.dtype
 
-    sf = jnp.asarray(SCALE_FACTORS, dtype=btWb.dtype)
+    def chi2_of_logalpha(a_log):
+        return cutoff_chi2(10.0**a_log, AtWA, AtWb, btWb, R)
+
+    chi2_batch = jax.vmap(chi2_of_logalpha)
+
+    # chi^2 on the static alpha grid 0, -1, ..., -100 (+ padding), chunked
+    n_grid = int(-ALPHA_MIN) + 1  # 101
+    n_pad = -(-n_grid // GRID_CHUNK) * GRID_CHUNK
+    alphas_pad = -jnp.arange(float(n_pad), dtype=dt)
+    chi2_grid = lax.map(
+        chi2_batch, alphas_pad.reshape(-1, GRID_CHUNK)
+    ).reshape(-1)[:n_grid]
+    alphas = alphas_pad[:n_grid]
+
+    sf = jnp.asarray(SCALE_FACTORS, dtype=dt)
     nus = N * sf  # [5]
     f_grid = chi2_grid[None, :] - nus[:, None]  # [5, 101]
 
@@ -83,18 +102,24 @@ def chi2_reg_param(AtWA, AtWb, btWb, N, R):
     lo = alphas[j]  # f(lo) < 0
     hi = alphas[j - 1]  # f(hi) >= 0
 
-    def g(a_log):
-        return cutoff_chi2(10.0**a_log, AtWA, AtWb, btWb, R) - nu
+    frac = jnp.arange(1.0, KSECTION + 1.0, dtype=dt) / (KSECTION + 1.0)
 
     def body(_, carry):
         lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        fm = g(mid)
-        lo = jnp.where(fm < 0.0, mid, lo)
-        hi = jnp.where(fm < 0.0, hi, mid)
-        return lo, hi
+        pts = hi + (lo - hi) * frac  # descending from hi toward lo
+        f = chi2_batch(pts) - nu  # monotone: f decreasing along pts
+        below = f < 0.0  # suffix of True entries (toward lo)
+        # new lo: first point with f < 0 (closest to hi); new hi: the
+        # point just above it (or the old hi when none are below)
+        any_below = jnp.any(below)
+        i0 = jnp.argmax(below)
+        new_lo = jnp.where(any_below, pts[i0], lo)
+        new_hi = jnp.where(any_below,
+                           jnp.where(i0 > 0, pts[i0 - 1], hi),
+                           pts[-1])
+        return new_lo, new_hi
 
-    lo, hi = lax.fori_loop(0, N_BISECT, body, (lo, hi))
+    lo, hi = lax.fori_loop(0, N_KSECTION, body, (lo, hi))
     root = 0.5 * (lo + hi)
 
     reg = 10.0**root
