@@ -232,3 +232,30 @@ def test_too_smooth_returns_zero(model, design, records):
     assert float(alphas[0, 0]) == 0.0
     _, _, _, p_ref = oracle_fit_record(v[0], e[0], design, [psi], "chi2")
     assert p_ref[0] == 0.0
+
+
+def test_fast_regparam_mode_close_to_exact(model, design, records):
+    """'fast' whitened search vs 'exact' cutoff search: same NaN pattern and
+    ballpark alphas.  This toy basis is deliberately cutoff-heavy (quirk #2
+    suppressed columns), which maximizes the jitter-vs-cutoff divergence;
+    agreement is within a factor ~3 in alpha here and ~1e-6 on well-posed
+    records (docs/PARITY_NOTES.md #7)."""
+    values, errors = records
+    psi = np.asarray(model.eval_psi())
+    reg_mats = jnp.asarray(psi)[None]
+    _, _, c2_e, a_e = fit_records(
+        jnp.asarray(values), jnp.asarray(errors), jnp.asarray(design),
+        reg_mats, method="chi2", regparam_mode="exact",
+    )
+    _, _, c2_f, a_f = fit_records(
+        jnp.asarray(values), jnp.asarray(errors), jnp.asarray(design),
+        reg_mats, method="chi2", regparam_mode="fast",
+    )
+    a_e, a_f = np.asarray(a_e), np.asarray(a_f)
+    assert np.all(np.isfinite(a_f) == np.isfinite(a_e))
+    ok = np.isfinite(a_e[:, 0])
+    # log-alpha agreement within the cutoff-noise envelope
+    assert np.allclose(
+        np.log10(a_f[ok, 0]), np.log10(a_e[ok, 0]), atol=0.5
+    )
+    assert np.allclose(np.asarray(c2_f)[ok], np.asarray(c2_e)[ok], rtol=5e-2)

@@ -87,6 +87,7 @@ class TPUConfig:
     table_domain_factor: float = 2.0  # theta table domain = factor * cap_lim
     table_tol: float = 1e-12  # Chebyshev truncation tolerance
     grid_eval_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
+    regparam_mode: str = "exact"  # 'exact' (reference cutoff) | 'fast'
     mesh_records: int = 0  # 0 = use all devices on the records axis
     mesh_points: int = 1
     chunk_size: int = 0  # records per incremental-flush chunk (0 = all)
@@ -193,6 +194,7 @@ class Config:
             )
             tpu.table_tol = t.getfloat("TABLE_TOL", tpu.table_tol)
             tpu.grid_eval_impl = t.get("GRID_EVAL_IMPL", tpu.grid_eval_impl)
+            tpu.regparam_mode = t.get("REGPARAM_MODE", tpu.regparam_mode)
             tpu.mesh_records = t.getint("MESH_RECORDS", tpu.mesh_records)
             tpu.mesh_points = t.getint("MESH_POINTS", tpu.mesh_points)
             tpu.chunk_size = t.getint("CHUNK_SIZE", tpu.chunk_size)

@@ -284,6 +284,7 @@ class Interpolate:
                     C, dC, c2, rp = fit_records_sharded(
                         value[s:e], error[s:e], A, reg_mats, mesh,
                         method=method, manual_params=mp,
+                        regparam_mode=self.config.tpu.regparam_mode,
                     )
                 else:
                     C, dC, c2, rp = fit_records(
@@ -293,6 +294,7 @@ class Interpolate:
                         reg_mats,
                         method=method,
                         manual_params=mp,
+                        regparam_mode=self.config.tpu.regparam_mode,
                     )
                 C_all[s:e] = np.asarray(C)
                 dC_all[s:e] = np.asarray(dC)

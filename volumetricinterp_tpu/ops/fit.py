@@ -36,9 +36,13 @@ def record_stats(values, errors, A):
 
 
 def fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method: str,
-                   manual_params=None):
+                   manual_params=None, regparam_mode: str = "exact"):
     """Fit one record from sufficient statistics (chi2/manual methods; GCV
     needs per-point quantities, see fit_one_record).
+
+    regparam_mode: 'exact' uses the reference's lstsq-cutoff solve inside
+    the chi2 search; 'fast' uses the O(nbasis)-per-alpha whitened search
+    (ops/regparam.chi2_reg_param_fast).
 
     Returns (C [nb], dC [nb, nb], chi2 [], reg_params [nreg])."""
     nreg = reg_mats.shape[0]
@@ -49,8 +53,10 @@ def fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method: str,
     elif method == "chi2":
         # reference semantics: each parameter solved with all others at
         # zero (interpolate.py:120-124, 246-252)
+        search = (regparam.chi2_reg_param if regparam_mode == "exact"
+                  else regparam.chi2_reg_param_fast)
         alphas = jnp.stack([
-            regparam.chi2_reg_param(AtWA, AtWb, btWb, N, reg_mats[i])
+            search(AtWA, AtWb, btWb, N, reg_mats[i])
             for i in range(nreg)
         ])
     else:
@@ -69,7 +75,7 @@ def fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method: str,
 
 
 def fit_one_record(values, errors, A, reg_mats, method: str,
-                   manual_params=None):
+                   manual_params=None, regparam_mode: str = "exact"):
     """Fit a single record.  values/errors: [npoints]; A: [npoints, nbasis];
     reg_mats: [nreg, nbasis, nbasis].  `method` is static.
 
@@ -96,16 +102,16 @@ def fit_one_record(values, errors, A, reg_mats, method: str,
         return C, dC, chi2, alphas
 
     return fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method,
-                          manual_params)
+                          manual_params, regparam_mode)
 
 
-@partial(jax.jit, static_argnames=("method",))
+@partial(jax.jit, static_argnames=("method", "regparam_mode"))
 def fit_records(values, errors, A, reg_mats, method: str = "chi2",
-                manual_params=None):
+                manual_params=None, regparam_mode: str = "exact"):
     """Vmapped batched fit.  values/errors: [nrec, npoints].
 
     Returns (C [nrec, nb], dC [nrec, nb, nb], chi2 [nrec],
     reg_params [nrec, nreg])."""
     f = partial(fit_one_record, A=A, reg_mats=reg_mats, method=method,
-                manual_params=manual_params)
+                manual_params=manual_params, regparam_mode=regparam_mode)
     return jax.vmap(f)(values, errors)

@@ -42,9 +42,12 @@ from .solve import cutoff_chi2, sym_pinv_apply
 # reference constants (interpolate.py:173, 199-202)
 SCALE_FACTORS = (0.6, 0.7, 0.8, 0.9, 1.0)
 ALPHA_MIN = -100.0
-GRID_CHUNK = 16  # alphas evaluated per sequential round (batched eigh)
-KSECTION = 31  # interior points per root-refinement round
-N_KSECTION = 9  # rounds: bracket width 1 -> 32^-9 ~ 3e-14 (< brentq xtol)
+# Concurrency of the exact (cutoff-eigh) search: records_in_flight * CHUNK
+# eigh instances coexist in HBM.  f64 eigh workspace is ~20 n^2 doubles, so
+# keep record_chunk * GRID_CHUNK <~ 1500 at nbasis=144 (v5e 16 GB).
+GRID_CHUNK = 8  # alphas evaluated per sequential round (batched eigh)
+KSECTION = 7  # interior points per root-refinement round
+N_KSECTION = 14  # rounds: bracket width 1 -> 8^-14 ~ 2e-13 (< brentq xtol)
 
 
 def chi2_reg_param(AtWA, AtWb, btWb, N, R):
@@ -120,6 +123,73 @@ def chi2_reg_param(AtWA, AtWb, btWb, N, R):
         return new_lo, new_hi
 
     lo, hi = lax.fori_loop(0, N_KSECTION, body, (lo, hi))
+    root = 0.5 * (lo + hi)
+
+    reg = 10.0**root
+    reg = jnp.where(is_smooth, 0.0, reg)
+    reg = jnp.where(any_event, reg, jnp.nan)
+    return reg
+
+
+def chi2_reg_param_fast(AtWA, AtWb, btWb, N, R):
+    """Fast-mode chi2-nu search: one pencil whitening per record, then every
+    chi^2(alpha) evaluation is O(nbasis) (ops/solve.whitened_chi2) instead
+    of an eigendecomposition.
+
+    Identical decision structure to chi2_reg_param (same scale-factor
+    ladder, bracket grid, k-section refinement); the solve uses a tiny
+    relative Cholesky jitter instead of the reference's lstsq cutoff, so the
+    selected alpha deviates only when sub-cutoff directions matter
+    (docs/PARITY_NOTES.md #7) — typically <1e-6 relative on well-posed
+    records, up to a few percent on cutoff-straddling ones.  ~100x less
+    work on TPU than the exact mode; select with [TPU] REGPARAM_MODE=fast.
+    """
+    from .solve import whiten_pencil, whitened_chi2
+
+    dt = btWb.dtype
+    L, lam, Q = whiten_pencil(AtWA, R)
+    u = Q.T @ jax.scipy.linalg.solve_triangular(L, AtWb, lower=True)
+
+    def chi2_of_logalpha(a_log):
+        return whitened_chi2(10.0**a_log, lam, u, btWb)
+
+    n_grid = int(-ALPHA_MIN) + 1
+    alphas = -jnp.arange(float(n_grid), dtype=dt)
+    chi2_grid = jax.vmap(chi2_of_logalpha)(alphas)
+
+    sf = jnp.asarray(SCALE_FACTORS, dtype=dt)
+    nus = N * sf
+    f_grid = chi2_grid[None, :] - nus[:, None]
+
+    too_smooth = f_grid[:, 0] < 0.0
+    neg = f_grid < 0.0
+    has_bracket = jnp.any(neg[:, 1:], axis=1) & ~too_smooth
+    event = too_smooth | has_bracket
+    s = jnp.argmax(event)
+    any_event = jnp.any(event)
+    is_smooth = too_smooth[s]
+    nu = nus[s]
+    j = jnp.argmax(neg[s])
+    lo = alphas[j]
+    hi = alphas[j - 1]
+
+    K = 31
+    frac = jnp.arange(1.0, K + 1.0, dtype=dt) / (K + 1.0)
+
+    def body(_, carry):
+        lo, hi = carry
+        pts = hi + (lo - hi) * frac
+        f = jax.vmap(chi2_of_logalpha)(pts) - nu
+        below = f < 0.0
+        any_below = jnp.any(below)
+        i0 = jnp.argmax(below)
+        new_lo = jnp.where(any_below, pts[i0], lo)
+        new_hi = jnp.where(any_below,
+                           jnp.where(i0 > 0, pts[i0 - 1], hi),
+                           pts[-1])
+        return new_lo, new_hi
+
+    lo, hi = lax.fori_loop(0, 9, body, (lo, hi))
     root = 0.5 * (lo + hi)
 
     reg = 10.0**root

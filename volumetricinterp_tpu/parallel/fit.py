@@ -41,7 +41,8 @@ def _pad_to(x, n, axis, fill):
 
 
 def fit_records_sharded(values, errors, A, reg_mats, mesh: Mesh,
-                        method: str = "chi2", manual_params=None):
+                        method: str = "chi2", manual_params=None,
+                        regparam_mode: str = "exact"):
     """Sharded batched fit.  values/errors: [nrec, npoints]; A: [npoints, nb].
 
     Returns (C, dC, chi2, reg_params) with the original nrec (padding record
@@ -106,7 +107,7 @@ def fit_records_sharded(values, errors, A, reg_mats, mesh: Mesh,
     solve = jax.jit(
         jax.vmap(
             partial(fit_from_stats, reg_mats=reg_mats, method=method,
-                    manual_params=manual_params)
+                    manual_params=manual_params, regparam_mode=regparam_mode)
         ),
         out_shardings=sh2,
     )
