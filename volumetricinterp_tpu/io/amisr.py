@@ -85,3 +85,19 @@ def read_datafile(filename, param, errlim, chi2lim, goodfitcode):
     altitude = altitude[finite_coord]
 
     return utime, latitude, longitude, altitude, value, error
+
+
+def beam_index(filename):
+    """Per-point beam index aligned with read_datafile's point axis.
+
+    AMISR geometry arrays are [nbeam, nrange]; the reader flattens them and
+    drops NaN-coordinate columns (interpolate.py:635,660-664).  This helper
+    applies the same flatten+filter to the beam row index, enabling
+    beam-structured workflows (leave-one-beam-out CV, sweep.py).
+    """
+    with h5py.File(filename, "r") as f:
+        alt = f["/Geomag/Altitude"][:]
+    nbeam, nrange = alt.shape
+    idx = np.repeat(np.arange(nbeam), nrange)
+    finite_coord = np.isfinite(alt.flatten())
+    return idx[finite_coord]
