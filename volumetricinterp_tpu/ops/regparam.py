@@ -147,8 +147,8 @@ def chi2_reg_param_fast(AtWA, AtWb, btWb, N, R):
     from .solve import whiten_pencil, whitened_chi2
 
     dt = btWb.dtype
-    L, lam, Q = whiten_pencil(AtWA, R)
-    u = Q.T @ jax.scipy.linalg.solve_triangular(L, AtWb, lower=True)
+    lam, Q, Binv = whiten_pencil(AtWA, R)
+    u = Q.T @ (Binv @ AtWb)
 
     def chi2_of_logalpha(a_log):
         return whitened_chi2(10.0**a_log, lam, u, btWb)

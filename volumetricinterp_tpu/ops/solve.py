@@ -49,6 +49,26 @@ def suff_stats(A, b, W, mask):
     return AtWA, AtWb, btWb, N
 
 
+def _eigh_safe(Xn):
+    """Symmetric eigendecomposition of a trace-normalized matrix, robust on
+    the TPU backend.
+
+    TPU f64 eigh is unreliable: it loses ~8 digits at absolute scales around
+    1e-20, and the BATCHED n>~100 f64 path returns NaN outright (observed on
+    v5e).  On TPU we therefore run the (working) float32 eigh and refine the
+    eigenvalues in float64 with Rayleigh quotients w_i = v_i' X v_i — f32
+    eigenvectors give ~1e-7-accurate subspaces and hence ~1e-14-accurate
+    refined eigenvalues for separated modes, which matches the documented
+    TPU parity floor.  Other backends use the native f64 path.
+    """
+    if jax.default_backend() == "tpu" and Xn.dtype == jnp.float64:
+        w32, V32 = jnp.linalg.eigh(Xn.astype(jnp.float32))
+        V = V32.astype(jnp.float64)
+        w = jnp.einsum("...ij,...ik,...kj->...j", V, Xn, V)
+        return w, V
+    return jnp.linalg.eigh(Xn)
+
+
 def sym_pinv_apply(X, y, rcond_factor=None, want_H=True):
     """Min-norm solve C = pinv(X) @ y for symmetric X, plus pinv(X).
 
@@ -60,7 +80,12 @@ def sym_pinv_apply(X, y, rcond_factor=None, want_H=True):
     n = X.shape[-1]
     if rcond_factor is None:
         rcond_factor = float(n) * float(jnp.finfo(X.dtype).eps)
-    w, V = jnp.linalg.eigh(X)
+    # normalize to O(1): weighted normal matrices live at absolute scales
+    # ~1e-20 (W ~ error^-2 ~ 1e-21), far outside TPU linalg's comfort zone
+    s = jnp.trace(X) / n
+    s = jnp.where(jnp.abs(s) > 0, jnp.abs(s), 1.0)
+    w, V = _eigh_safe(X / s)
+    w = w * s
     aw = jnp.abs(w)
     cutoff = rcond_factor * jnp.max(aw, axis=-1, keepdims=True)
     inv_w = jnp.where(aw > cutoff, 1.0 / w, 0.0)
@@ -111,30 +136,44 @@ def final_solve(AtWA, AtWb, btWb, reg_mats, reg_params):
 def whiten_pencil(AtWA, R, jitter_rel=1e-12):
     """One-time whitening of the pencil (AtWA, R) for O(n) alpha scans.
 
-    Returns (lam, u2, resid0, Ly) enabling the closed forms
-        chi2(a)  = sum u^2 [1/(1+a lam)^2 - 2/(1+a lam)] + btWb
-        C(a)     = L^{-T} Q (I + a Lam)^{-1} u
-    where L = chol(AtWA + jitter), G = L^{-1} R L^{-T} = Q Lam Q', and
-    u = Q' L^{-1} AtWb.  The tiny relative jitter regularizes records whose
-    AtWA is singular (ridge limit == the reference's lstsq min-norm
-    behaviour, since AtWb is orthogonal to null(AtWA)).
+    Eigendecomposition-based (no Cholesky — batched f64 cholesky shares the
+    TPU fragility of batched eigh): with AtWA = V W V', define the factor
+    B^{-1} = W~^{-1/2} V' (W~ = W clipped at jitter_rel * max W), then
+    G = B^{-1} R B^{-T} = Q Lam Q'.  The closed forms
+
+        chi2(a) = sum u^2 [1/(1+a lam)^2 - 2/(1+a lam)] + btWb
+        C(a)    = B^{-T} Q (I + a Lam)^{-1} u,   u = Q' B^{-1} AtWb
+
+    make every subsequent alpha evaluation O(nbasis).  The clipping
+    regularizes singular records (ridge limit == the reference's lstsq
+    min-norm behaviour, since AtWb is orthogonal to null(AtWA)).
+
+    Returns (lam [n], Q [n, n], Binv [n, n]).
     """
     n = AtWA.shape[-1]
     scale = jnp.trace(AtWA) / n
     scale = jnp.where(scale > 0, scale, 1.0)
-    L = jnp.linalg.cholesky(AtWA + (jitter_rel * scale) * jnp.eye(n, dtype=AtWA.dtype))
-    # G = L^{-1} R L^{-T}
-    Linv_R = jax.scipy.linalg.solve_triangular(L, R, lower=True)
-    G = jax.scipy.linalg.solve_triangular(L, Linv_R.T, lower=True).T
+    w, V = _eigh_safe(AtWA / scale)
+    w = w * scale
+    wmax = jnp.max(jnp.abs(w))
+    w_safe = jnp.maximum(w, jitter_rel * jnp.where(wmax > 0, wmax, 1.0))
+    Binv = (w_safe[:, None] ** -0.5) * V.T  # [n, n]
+
+    sR = jnp.trace(R) / n
+    sR = jnp.where(jnp.abs(sR) > 0, jnp.abs(sR), 1.0)
+    G = Binv @ (R / sR) @ Binv.T
     G = 0.5 * (G + G.T)
-    lam, Q = jnp.linalg.eigh(G)
-    return L, lam, Q
+    # G is O(1)-normalized by construction; refine on its own trace scale
+    sG = jnp.trace(jnp.abs(G * jnp.eye(n, dtype=G.dtype))) / n + 1e-300
+    lam, Q = _eigh_safe(G / sG)
+    lam = lam * (sG * sR)
+    return lam, Q, Binv
 
 
 def whitened_chi2(a, lam, u, btWb):
     """chi^2 of the fit with X = AtWA + a R, from whitened quantities.
 
-    u = Q' L^{-1} AtWb.  Derivation: with LtC = Q (I+aLam)^{-1} u,
+    u = Q' B^{-1} AtWb.  Derivation: with B'C = Q (I+aLam)^{-1} u,
     C'AtWA C = ||(I+aLam)^{-1} u||^2 and C'AtWb = u'(I+aLam)^{-1}u, so
     chi2(a) = sum_i u_i^2 (d_i^2 - 2 d_i) + btWb,  d_i = 1/(1+a lam_i).
     Monotone non-decreasing in a for a >= 0 (and lam >= 0), which makes the
@@ -144,7 +183,7 @@ def whitened_chi2(a, lam, u, btWb):
     return jnp.sum(u * u * (d * d - 2.0 * d)) + btWb
 
 
-def whitened_solve(a, L, lam, Q, u):
+def whitened_solve(a, lam, Q, Binv, u):
     """C(a) = (AtWA + a R)^{-1} AtWb from whitened quantities."""
     d = 1.0 / (1.0 + a * lam)
-    return jax.scipy.linalg.solve_triangular(L.T, Q @ (d * u), lower=False)
+    return Binv.T @ (Q @ (d * u))
