@@ -157,3 +157,20 @@ def test_az_daz_parity(model):
         )
         assert np.allclose(np.asarray(model.Az(v, m, phi)), ref, rtol=1e-10, atol=1e-12)
         assert np.allclose(np.asarray(model.dAz(v, m, phi)), dref, rtol=1e-10, atol=1e-12)
+
+
+def test_series_basis_impl_matches_table(small_config_text):
+    """BASIS_IMPL=series (direct hypergeometric) vs the table path, within
+    the series' accuracy envelope at moderate nu."""
+    cfg_t = Config.from_text(small_config_text)
+    cfg_s = Config.from_text(small_config_text + "\n[TPU]\nBASIS_IMPL = series\n")
+    m_t, m_s = Model(cfg_t), Model(cfg_s)
+    rng = np.random.default_rng(2)
+    lat = rng.uniform(74, 82, 100)
+    lon = rng.uniform(252, 272, 100)
+    alt = rng.uniform(1e5, 6e5, 100)
+    At = np.asarray(m_t.basis(lat, lon, alt))
+    As = np.asarray(m_s.basis(lat, lon, alt))
+    for n in range(m_t.nbasis):
+        sup = np.max(np.abs(At[:, n])) + 1e-300
+        assert np.max(np.abs(At[:, n] - As[:, n])) < 1e-5 * sup, n

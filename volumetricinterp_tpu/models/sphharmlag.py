@@ -228,9 +228,24 @@ class Model:
         t = jnp.asarray(t).ravel()
         p = jnp.asarray(p).ravel()
 
-        u = 2.0 * t / theta_max - 1.0
-        P = cheb_clenshaw(u, coef)  # [pts, 3*npairs]
-        Pn = P[:, self._d_col_0] * self._d_negm[None, :]  # [pts, nbasis]
+        if self.config.tpu.basis_impl == "series":
+            # self-contained device path: hypergeometric series per (l, mbar)
+            # pair (accuracy envelope in special.lpmv's docstring; the table
+            # path is both faster and more accurate — this exists for
+            # table-free validation)
+            x = jnp.cos(t)
+            cols = []
+            for l in range(self.maxl):
+                v = float(nu_of_l(l, self.cap_lim))
+                for mbar in range(l + 1):
+                    cols.append(special.lpmv(mbar, v, x))
+            Ppairs = jnp.stack(cols, axis=-1)  # [pts, npairs]
+            pair_n = self._l * (self._l + 1) // 2 + self._mbar
+            Pn = Ppairs[:, pair_n] * self._d_negm[None, :]
+        else:
+            u = 2.0 * t / theta_max - 1.0
+            P = cheb_clenshaw(u, coef)  # [pts, 3*npairs]
+            Pn = P[:, self._d_col_0] * self._d_negm[None, :]  # [pts, nbasis]
 
         lag = special.laguerre_all(self.maxk - 1, z)  # [pts, maxk]
         radial = jnp.exp(-0.5 * z)[:, None] * lag
