@@ -43,11 +43,14 @@ from .solve import cutoff_chi2, sym_pinv_apply
 SCALE_FACTORS = (0.6, 0.7, 0.8, 0.9, 1.0)
 ALPHA_MIN = -100.0
 # Concurrency of the exact (cutoff-eigh) search: records_in_flight * CHUNK
-# eigh instances coexist in HBM.  f64 eigh workspace is ~20 n^2 doubles, so
-# keep record_chunk * GRID_CHUNK <~ 1500 at nbasis=144 (v5e 16 GB).
+# eigh instances coexist in HBM (the decomposition itself runs in f32 with
+# f64 Rayleigh refinement, solve._eigh_safe); keep record_chunk * GRID_CHUNK
+# <~ 4000 at nbasis=144 (v5e 16 GB).
+# The exact search is eigh-THROUGHPUT bound (not round-latency bound), so
+# minimize total evaluations: 104 grid + 7*12 refinement = 188 per record.
 GRID_CHUNK = 8  # alphas evaluated per sequential round (batched eigh)
 KSECTION = 7  # interior points per root-refinement round
-N_KSECTION = 14  # rounds: bracket width 1 -> 8^-14 ~ 2e-13 (< brentq xtol)
+N_KSECTION = 12  # rounds: bracket width 1 -> 8^-12 ~ 1.5e-11 in log10
 
 
 def chi2_reg_param(AtWA, AtWb, btWb, N, R):
