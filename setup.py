@@ -27,6 +27,7 @@ setup(
     entry_points={
         "console_scripts": [
             "volumetricinterp=volumetricinterp_tpu.cli:main",
+            "volumetricinterp-validate=volumetricinterp_tpu.cli:validate_main",
         ],
     },
 )

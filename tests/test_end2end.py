@@ -192,3 +192,36 @@ def test_grid_eval_fast_path_matches_f64(workspace):
     slow = est(t_mid, glat, glon, galt, check_hull=False)
     scale = np.nanmax(np.abs(slow))
     assert np.nanmax(np.abs(fast - slow)) < 5e-5 * scale
+
+
+def test_evaluate_records_keogram(workspace):
+    """Multi-record grid products share the compiled fast path."""
+    est = Estimate(workspace["out"])
+    ok = np.isfinite(est.chi2)
+    mts = np.mean(est.time, axis=1)[ok][:3]
+    times = [dt.datetime.utcfromtimestamp(t) for t in mts]
+    glat, glon, galt = np.meshgrid(
+        np.linspace(74.0, 76.5, 10), np.linspace(262.0, 268.0, 10),
+        np.array([250e3, 300e3]),
+    )
+    vols = est.evaluate_records(times, glat, glon, galt)
+    assert vols.shape == (3,) + glat.shape
+    assert np.isfinite(vols).any()
+    # matches per-record grid_eval
+    one = est.grid_eval(times[1], glat, glon, galt)
+    np.testing.assert_allclose(
+        vols[1], one, rtol=0, atol=1e-6 * np.nanmax(np.abs(one)), equal_nan=True
+    )
+
+
+def test_cli_validate_main(workspace, tmp_path):
+    """The standalone validate console entry (reference run_validate.py)."""
+    import volumetricinterp_tpu.cli as cli
+
+    png = str(tmp_path / "vmain.png")
+    text = workspace["text"] + f"\n"
+    text = text.replace("test_fig.png", png)
+    cfg = str(tmp_path / "c.ini")
+    with open(cfg, "w") as f:
+        f.write(text)
+    cli.validate_main([cfg])

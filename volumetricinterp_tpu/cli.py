@@ -78,5 +78,24 @@ def main(argv=None):
                 print(f"{k:24s} {v:8.3f} s")
 
 
+def validate_main(argv=None):
+    """Standalone validation entry (reference run_validate.py:16-28)."""
+    parser = ArgumentParser(
+        description=(
+            "Validate parameters in a config file by interpolating and "
+            "plotting a short time window."
+        ),
+        formatter_class=RawTextHelpFormatter,
+    )
+    parser.add_argument("config_file", help=_config_help())
+    args = vars(parser.parse_args(argv))
+
+    from .validate import Validate
+
+    validate = Validate(args["config_file"])
+    validate.interpolate()
+    validate.create_plots()
+
+
 if __name__ == "__main__":
     main()

@@ -171,3 +171,25 @@ class Estimate:
             inside = hull_mask(self._hull_eqs, gdlat, gdlon, gdalt)
             out = jnp.where(inside, np.asarray(out), jnp.nan)
         return np.asarray(out)
+
+    def evaluate_records(self, times, gdlat, gdlon, gdalt, check_hull=True,
+                         impl=None):
+        """Evaluate the same grid for many times (keogram/volume products,
+        BASELINE config 4).
+
+        times: sequence of datetimes.  Returns [ntimes, *grid.shape].  The
+        fused evaluator and compiled kernel are shared across records; the
+        hull mask is computed once.
+        """
+        times = list(times)
+        out = np.empty((len(times),) + np.shape(gdlat))
+        inside = None
+        if check_hull:
+            inside = np.asarray(hull_mask(self._hull_eqs, gdlat, gdlon, gdalt))
+        for i, t in enumerate(times):
+            o = self.grid_eval(t, gdlat, gdlon, gdalt, check_hull=False,
+                               impl=impl)
+            if inside is not None:
+                o = np.where(inside, o, np.nan)
+            out[i] = o
+        return out
