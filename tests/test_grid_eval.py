@@ -51,6 +51,9 @@ def test_xla_f64_matches_basis_path(model, points):
 
 
 def test_pallas_interpret_matches_xla(model, points):
+    """Both f32 paths sit within the f32-theta-resolution envelope of the
+    f64 truth (the kernel fuses its own f32 coordinate transform, so it is
+    not bit-identical to the XLA path)."""
     lat, lon, alt, trange, C, truth = points
     ev_x = GridEvaluator(model, trange, impl="xla")
     ev_p = GridEvaluator(model, trange, impl="pallas")
@@ -58,7 +61,8 @@ def test_pallas_interpret_matches_xla(model, points):
     with pltpu.force_tpu_interpret_mode():
         out_p = np.asarray(ev_p(C, lat, lon, alt))
     scale = np.max(np.abs(truth))
-    assert np.max(np.abs(out_p - out_x)) < 5e-6 * scale
+    assert np.max(np.abs(out_p - truth)) < 5e-5 * scale
+    assert np.max(np.abs(out_p - out_x)) < 5e-5 * scale
 
 
 def test_domain_refit_is_small(model, points):

@@ -92,6 +92,16 @@ class GridEvaluator:
         # puts through a tunnelled TPU cost seconds each)
         self._coef = np.ascontiguousarray(cpad.T, dtype=np.dtype(dtype))  # [npairs_pad, D]
 
+        # per-pair required degree (for the kernel's degree-bucketed
+        # Clenshaw): low-l pair functions converge much earlier than the
+        # global D driven by l = maxl-1
+        tails = np.abs(coef[:D]) / sup[None, :]
+        deg_j = np.full(npairs, D, dtype=np.int64)
+        for j in range(npairs):
+            above = np.nonzero(tails[:, j] >= tol)[0]
+            deg_j[j] = int(above[-1]) + 1 if above.size else 1
+        self.pair_degree = deg_j
+
         # static index/scale arrays
         maxl, maxk = model.maxl, model.maxk
         self.maxl, self.maxk = maxl, maxk
@@ -170,16 +180,18 @@ class GridEvaluator:
         return out * ez
 
     def _eval_flat(self, ceff, lat, lon, alt):
+        if self.impl == "pallas":
+            # the kernel fuses the coordinate transform: lat/lon/alt in,
+            # field values out, nothing else touches HBM
+            from .grid_eval_pallas import eval_latlonalt_pallas
+
+            return eval_latlonalt_pallas(
+                lat.astype(self.dtype), lon.astype(self.dtype),
+                alt.astype(self.dtype), ceff, self,
+            )
         z, t, p = coords.geodetic_to_cap(
             lat, lon, alt, self.model.latcp, self.model.loncp
         )
-        if self.impl == "pallas":
-            from .grid_eval_pallas import eval_ztp_pallas
-
-            return eval_ztp_pallas(
-                z.astype(self.dtype), t.astype(self.dtype),
-                p.astype(self.dtype), ceff, self,
-            )
         return self._clenshaw_trig_radial(z, t, p, ceff)
 
     def __call__(self, C, gdlat, gdlon, gdalt):

@@ -1,15 +1,22 @@
 """Pallas TPU kernel for the fused dense-grid evaluation.
 
-Mirrors GridEvaluator._clenshaw_trig_radial (ops/grid_eval.py) tile-by-tile.
-Point tiles are native (8, LANES) float32 tiles; the vectorized Clenshaw
-recurrence runs over a [npairs_pad, 8, LANES] block (pairs on the leading
-axis, unrolled by Mosaic), so the small npairs dimension never touches the
-MXU and there is no 128-lane padding waste.  Per-point cost ~
-4 * D * npairs_pad VPU flops plus a handful of transcendentals; the point
-stream is double-buffered through VMEM by the Pallas grid pipeline.
+Mirrors GridEvaluator._clenshaw_trig_radial (ops/grid_eval.py) tile-by-tile,
+plus two kernel-only optimizations:
 
-Inputs are float32; accuracy is ~1e-5 relative against the float64 XLA path
-(set by f32 theta resolution: d(theta) ~ 1e-7 rad x d(P)/d(theta) ~ nu).
+* the geodetic -> cap coordinate transform (WGS-84 ECEF, Rodrigues rotation,
+  z-stretch; coords.py) is fused into the kernel, so the only HBM traffic is
+  lat/lon/alt in and the field value out;
+* the vectorized Clenshaw recurrence runs in PER-PAIR DEGREE BUCKETS: pairs
+  are permuted by their required Chebyshev degree (GridEvaluator.pair_degree)
+  and each bucket only iterates its own degree — low-l pair functions
+  converge at a fraction of the global degree, cutting the dominant flop
+  count ~30-40%.
+
+Point tiles are native (8, LANES) float32 tiles; pairs live on a leading
+batch axis so the small npairs dimension never touches the MXU and there is
+no 128-lane padding waste.  Accuracy is ~1e-5 relative against the float64
+XLA path (set by f32 theta resolution: d(theta) ~ 1e-7 rad x d(P)/d(theta)
+~ nu).
 """
 
 from __future__ import annotations
@@ -22,32 +29,73 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..constants import RE, WGS84_A, WGS84_E2
+
 SUB = 8  # sublanes per point tile
 LANES = 1024  # lanes per point tile
 TILE = SUB * LANES  # points per grid step
 
 
-def _kernel(z_ref, t_ref, p_ref, coef_ref, ceff_c_ref, ceff_s_ref, out_ref,
-            *, degree, maxl, maxk, npairs, npairs_pad, mbar_pair,
-            theta_lo, theta_hi):
-    zt = z_ref[0]  # [SUB, LANES]
-    tt = t_ref[0]
-    pt = p_ref[0]
+def _make_buckets(pair_degree, max_buckets=4):
+    """Partition pairs into <=max_buckets degree groups.
+
+    Returns (perm [npairs], buckets [(start, count, degree), ...]) with
+    pairs sorted by descending required degree and each bucket's degree =
+    max within the group.
+    """
+    npairs = len(pair_degree)
+    perm = np.argsort(-np.asarray(pair_degree), kind="stable")
+    degs = np.asarray(pair_degree)[perm]
+    # split at the largest relative degree drops
+    if npairs <= max_buckets:
+        edges = list(range(npairs + 1))
+    else:
+        drops = degs[:-1] - degs[1:]
+        cuts = np.sort(np.argsort(-drops)[: max_buckets - 1] + 1)
+        edges = [0] + [int(c) for c in cuts if 0 < c < npairs] + [npairs]
+        edges = sorted(set(edges))
+    buckets = []
+    for s, e in zip(edges[:-1], edges[1:]):
+        buckets.append((int(s), int(e - s), int(degs[s])))
+    return perm, buckets
+
+
+def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_c_ref, ceff_s_ref,
+            out_ref, *, buckets, maxl, maxk, mbar_pair,
+            theta_lo, theta_hi, kx, ky, ct0, st0):
+    deg2rad = np.float32(np.pi / 180.0)
+    latr = lat_ref[0] * deg2rad  # [SUB, LANES]
+    lonr = lon_ref[0] * deg2rad
+    alt = alt_ref[0]
+
+    # WGS-84 geodetic -> ECEF (coords.geodetic2ecef)
+    sla = jnp.sin(latr)
+    cla = jnp.cos(latr)
+    nrad = np.float32(WGS84_A) / jnp.sqrt(1.0 - np.float32(WGS84_E2) * sla * sla)
+    rho = (nrad + alt) * cla
+    x = rho * jnp.cos(lonr)
+    y = rho * jnp.sin(lonr)
+    zz = (nrad * np.float32(1.0 - WGS84_E2) + alt) * sla
+
+    # Rodrigues rotation by +theta0 about k = (kx, ky, 0)
+    # (the reference's quirk rotation, docs/PARITY_NOTES.md #1)
+    kdv = kx * x + ky * y
+    omc = 1.0 - ct0
+    rx = x * ct0 + ky * zz * st0 + kx * kdv * omc
+    ry = y * ct0 - kx * zz * st0 + ky * kdv * omc
+    rz = zz * ct0 + (kx * y - ky * x) * st0
+
+    r = jnp.sqrt(rx * rx + ry * ry + rz * rz)
+    tt = jnp.arccos(rz / r)
+    pt = jnp.arctan2(ry, rx)
+    zt = np.float32(100.0) * (r * np.float32(1.0 / RE) - 1.0)
 
     half = (theta_hi - theta_lo) * 0.5
     u = (tt - (theta_lo + half)) * (1.0 / half)
     u = jnp.clip(u, -1.0, 1.0)[None]  # [1, SUB, LANES]
     two_u = 2.0 * u
 
-    # vectorized Clenshaw over all pairs: b [npairs_pad, SUB, LANES]
-    b1 = jnp.zeros((npairs_pad, SUB, LANES), jnp.float32)
-    b2 = jnp.zeros_like(b1)
-    for k in range(degree - 1, 0, -1):
-        ck = coef_ref[k]  # [npairs_pad, 1, 1]
-        b1, b2 = two_u * b1 - b2 + ck, b1
-    P = u * b1 - b2 + coef_ref[0]  # [npairs_pad, SUB, LANES]
-
-    # trig per pair, gathered by static mbar (rows unrolled, maxl small)
+    # trig rows (Chebyshev recurrence from cos/sin of phi)
     cos1 = jnp.cos(pt)
     sin1 = jnp.sin(pt)
     cosm = [jnp.ones_like(pt), cos1]
@@ -66,24 +114,35 @@ def _kernel(z_ref, t_ref, p_ref, coef_ref, ceff_c_ref, ceff_s_ref, out_ref,
                 * (1.0 / (kk + 1.0))
             )
 
-    # accumulate sum_j P_j (cos_j Rc_j + sin_j Rs_j); scalars from SMEM
+    # degree-bucketed vectorized Clenshaw + accumulation
     acc = jnp.zeros((SUB, LANES), jnp.float32)
-    for j in range(npairs):
-        rc = ceff_c_ref[j, 0] * lag[0]
-        rs = ceff_s_ref[j, 0] * lag[0]
-        for kk in range(1, maxk):
-            rc = rc + ceff_c_ref[j, kk] * lag[kk]
-            rs = rs + ceff_s_ref[j, kk] * lag[kk]
-        mb = mbar_pair[j]
-        acc = acc + P[j] * (cosm[mb] * rc + sinm[mb] * rs)
+    for (start, count, degree) in buckets:
+        b1 = jnp.zeros((count, SUB, LANES), jnp.float32)
+        b2 = jnp.zeros_like(b1)
+        for k in range(degree - 1, 0, -1):
+            ck = coef_ref[k, start:start + count]  # [count, 1, 1]
+            b1, b2 = two_u * b1 - b2 + ck, b1
+        P = u * b1 - b2 + coef_ref[0, start:start + count]
+
+        for jj in range(count):
+            j = start + jj
+            rc = ceff_c_ref[j, 0] * lag[0]
+            rs = ceff_s_ref[j, 0] * lag[0]
+            for kk in range(1, maxk):
+                rc = rc + ceff_c_ref[j, kk] * lag[kk]
+                rs = rs + ceff_s_ref[j, kk] * lag[kk]
+            mb = mbar_pair[j]
+            acc = acc + P[jj] * (cosm[mb] * rc + sinm[mb] * rs)
 
     out_ref[0] = acc * jnp.exp(-0.5 * zt)
 
 
-def eval_ztp_pallas(z, t, p, ceff, ev):
-    """Flat-array evaluation through the kernel.  ceff: [2, npairs_pad, maxk]
-    from GridEvaluator.fold_coeffs; ev: the GridEvaluator (static config)."""
-    n = z.shape[0]
+def eval_latlonalt_pallas(lat, lon, alt, ceff, ev):
+    """Flat-array evaluation through the kernel (geodetic inputs).
+
+    ceff: [2, npairs_pad, maxk] from GridEvaluator.fold_coeffs; ev: the
+    GridEvaluator (static config)."""
+    n = lat.shape[0]
     ntiles = max((n + TILE - 1) // TILE, 1)
     npad = ntiles * TILE
 
@@ -92,21 +151,38 @@ def eval_ztp_pallas(z, t, p, ceff, ev):
             ntiles, SUB, LANES
         )
 
-    zp, tp_, pp = pad(z), pad(t), pad(p)
+    latp, lonp, altp = pad(lat), pad(lon), pad(alt)
 
-    # coefficient table as [D, npairs_pad, 1, 1] for broadcast slicing
-    coef4 = ev._coef.T.astype(jnp.float32)[:, :, None, None]
+    perm, buckets = _make_buckets(ev.pair_degree)
+    npairs = ev.npairs
+
+    # permute pair order (coef rows, trig selectors, effective coefficients)
+    coef_p = ev._coef[:npairs][perm]  # [npairs, D]
+    coef4 = np.ascontiguousarray(coef_p.T)[:, :, None, None].astype(np.float32)
+    mbar_perm = tuple(int(m) for m in np.asarray(ev._mbar_pair)[perm])
+    ceff_p = ceff[:, :npairs][:, perm]  # [2, npairs, maxk]
+
+    from .. import coords as _coords
+
+    # rotation constants computed on HOST (static scalars; this runs under
+    # jit where jnp values would be tracers)
+    x0, y0, z0 = _coords.np_geodetic2ecef(ev.model.latcp, ev.model.loncp, 0.0)
+    th0 = float(np.arccos(z0 / np.sqrt(x0**2 + y0**2 + z0**2)))
+    phi0 = float(np.arctan2(y0, x0))
+    k_np = np.array([np.cos(phi0 + np.pi / 2.0), np.sin(phi0 + np.pi / 2.0)])
 
     kern = functools.partial(
         _kernel,
-        degree=ev.degree,
+        buckets=tuple(buckets),
         maxl=max(ev.maxl, 2),
         maxk=ev.maxk,
-        npairs=ev.npairs,
-        npairs_pad=ev.npairs_pad,
-        mbar_pair=tuple(int(m) for m in ev._mbar_pair),
-        theta_lo=float(ev.theta_lo),
-        theta_hi=float(ev.theta_hi),
+        mbar_pair=mbar_perm,
+        theta_lo=np.float32(ev.theta_lo),
+        theta_hi=np.float32(ev.theta_hi),
+        kx=np.float32(k_np[0]),
+        ky=np.float32(k_np[1]),
+        ct0=np.float32(np.cos(th0)),
+        st0=np.float32(np.sin(th0)),
     )
 
     # np.int32 literals: under jax_enable_x64 a bare python 0 becomes an
@@ -117,8 +193,8 @@ def eval_ztp_pallas(z, t, p, ceff, ev):
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    # x64 disabled inside the kernel trace: with jax_enable_x64 on, literal
-    # indices in block index maps become int64, which Mosaic cannot lower
+    avg_deg = float(np.mean([b[2] for b in buckets]))
+    # x64 disabled inside the kernel trace (see zero note above)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
@@ -128,11 +204,21 @@ def eval_ztp_pallas(z, t, p, ceff, ev):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((ntiles, SUB, LANES), jnp.float32),
             cost_estimate=pl.CostEstimate(
-                flops=4 * ev.degree * ev.npairs_pad * npad,
+                flops=int(4 * avg_deg * npairs * npad),
                 bytes_accessed=4 * 4 * npad,
-                transcendentals=4 * npad,
+                transcendentals=10 * npad,
             ),
-        )(zp, tp_, pp, jnp.asarray(coef4),
-          ceff[0].astype(jnp.float32), ceff[1].astype(jnp.float32))
+        )(latp, lonp, altp, jnp.asarray(coef4),
+          ceff_p[0].astype(jnp.float32), ceff_p[1].astype(jnp.float32))
 
     return out.reshape(npad)[:n]
+
+
+def eval_ztp_pallas(z, t, p, ceff, ev):
+    """Back-compat entry from precomputed cap coordinates: reconstructs
+    nothing — kept for tests that feed (z, t, p) directly; runs the math of
+    GridEvaluator._clenshaw_trig_radial without the fused transform."""
+    raise NotImplementedError(
+        "use eval_latlonalt_pallas (the kernel fuses the coordinate "
+        "transform)"
+    )
