@@ -60,6 +60,52 @@ def _make_buckets(pair_degree, max_buckets=4):
     return perm, buckets
 
 
+_PI = np.float32(np.pi)
+_PI_2 = np.float32(np.pi / 2.0)
+_PI_4 = np.float32(np.pi / 4.0)
+_TAN_3PI_8 = np.float32(2.414213562373095)
+_TAN_PI_8 = np.float32(0.4142135623730950)
+
+
+def _atanf(x):
+    """float32 arctan (Cephes atanf scheme, ~1e-7 rad); Mosaic has no
+    atan/atan2/acos lowerings."""
+    sign = jnp.where(x < 0.0, np.float32(-1.0), np.float32(1.0))
+    ax = jnp.abs(x)
+    big = ax > _TAN_3PI_8
+    mid = ax > _TAN_PI_8
+    ax_safe = jnp.maximum(ax, np.float32(1e-30))
+    x1 = jnp.where(
+        big, -1.0 / ax_safe, jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax)
+    )
+    z = x1 * x1
+    y = (
+        (
+            (np.float32(8.05374449538e-2) * z - np.float32(1.38776856032e-1))
+            * z
+            + np.float32(1.99777106478e-1)
+        )
+        * z
+        - np.float32(3.33329491539e-1)
+    ) * z * x1 + x1
+    y = y + jnp.where(big, _PI_2, jnp.where(mid, _PI_4, np.float32(0.0)))
+    return sign * y
+
+
+def _atan2f(y, x):
+    x_safe = jnp.where(x == 0.0, np.float32(1.0), x)
+    ang = _atanf(y / x_safe)
+    ang = jnp.where(
+        x < 0.0, ang + jnp.where(y >= 0.0, _PI, -_PI), ang
+    )
+    ang = jnp.where(
+        x == 0.0,
+        jnp.where(y > 0.0, _PI_2, jnp.where(y < 0.0, -_PI_2, np.float32(0.0))),
+        ang,
+    )
+    return ang
+
+
 def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_c_ref, ceff_s_ref,
             out_ref, *, buckets, maxl, maxk, mbar_pair,
             theta_lo, theta_hi, kx, ky, ct0, st0):
@@ -86,8 +132,10 @@ def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_c_ref, ceff_s_ref,
     rz = zz * ct0 + (kx * y - ky * x) * st0
 
     r = jnp.sqrt(rx * rx + ry * ry + rz * rz)
-    tt = jnp.arccos(rz / r)
-    pt = jnp.arctan2(ry, rx)
+    # acos(q) = atan2(sqrt(1-q^2), q), with the hand-rolled atan2 above
+    q = rz / r
+    tt = _atan2f(jnp.sqrt(jnp.maximum(1.0 - q * q, np.float32(0.0))), q)
+    pt = _atan2f(ry, rx)
     zt = np.float32(100.0) * (r * np.float32(1.0 / RE) - 1.0)
 
     half = (theta_hi - theta_lo) * 0.5
