@@ -124,6 +124,29 @@ QUAD_MODE = gauss
     fits_fast = fit_rate("fast")
     fits_per_s = fit_rate("exact")
 
+    # ---- end-to-end full day: 1000 records through the WHOLE pipeline ----
+    # (read + QC + hull + design matrix + chi2 search + solve + HDF5 write;
+    # BASELINE north star: < 10 s for a ~1000-record day)
+    import tempfile
+    from volumetricinterp_tpu import Interpolate
+    from volumetricinterp_tpu.io.synth import write_synthetic_amisr
+
+    tmp = tempfile.mkdtemp()
+    raw = os.path.join(tmp, "day.h5")
+    out_h5 = os.path.join(tmp, "coef.h5")
+    write_synthetic_amisr(raw, nrec=1000, seed=1, smooth_in_model=model,
+                          nan_frac=0.03, bad_frac=0.01)
+    e2e_cfg = cfg_text.replace(
+        "[DEFAULT]",
+        f"[DEFAULT]\nFILENAME = {raw}\nOUTPUTFILENAME = {out_h5}",
+    ).replace("QUAD_MODE = gauss", "QUAD_MODE = gauss\nREGPARAM_MODE = fast")
+    interp = Interpolate(e2e_cfg)
+    interp.calc_coeffs()  # includes one-time compiles (cached across runs)
+    t0 = time.perf_counter()
+    interp.calc_coeffs()
+    interp.saveh5()
+    full_day_s = time.perf_counter() - t0
+
     target_pts = 1.0e9
     print(json.dumps({
         "metric": "grid-evaluation points/s/chip (lmax=6, nbasis=144, f32 fused)",
@@ -136,6 +159,7 @@ QUAD_MODE = gauss
             "grid_eval_s": round(dt_eval, 5),
             "record_fits_per_s_chi2_exact": round(fits_per_s, 2),
             "record_fits_per_s_chi2_fast": round(fits_fast, 2),
+            "full_day_1000rec_e2e_s": round(full_day_s, 2),
             "fit_batch": [nrec, npts],
             "eval_impl": ev.impl,
             "cheb_degree_eval": ev.degree,

@@ -272,30 +272,33 @@ class Interpolate:
                              self.config.tpu.mesh_points)
 
         with self.timer.phase("fit_records"):
-            for s in range(start0, nrec, chunk):
-                e = min(s + chunk, nrec)
-                mp = (
-                    jnp.asarray(manual_params) if manual_params is not None
-                    else None
-                )
+            mp = (
+                jnp.asarray(manual_params) if manual_params is not None
+                else None
+            )
+            A_dev = jnp.asarray(A)
+
+            def dispatch(s, e):
                 if mesh is not None:
                     from .parallel import fit_records_sharded
 
-                    C, dC, c2, rp = fit_records_sharded(
-                        value[s:e], error[s:e], A, reg_mats, mesh,
+                    return fit_records_sharded(
+                        value[s:e], error[s:e], A_dev, reg_mats, mesh,
                         method=method, manual_params=mp,
                         regparam_mode=self.config.tpu.regparam_mode,
                     )
-                else:
-                    C, dC, c2, rp = fit_records(
-                        jnp.asarray(value[s:e]),
-                        jnp.asarray(error[s:e]),
-                        jnp.asarray(A),
-                        reg_mats,
-                        method=method,
-                        manual_params=mp,
-                        regparam_mode=self.config.tpu.regparam_mode,
-                    )
+                return fit_records(
+                    jnp.asarray(value[s:e]),
+                    jnp.asarray(error[s:e]),
+                    A_dev,
+                    reg_mats,
+                    method=method,
+                    manual_params=mp,
+                    regparam_mode=self.config.tpu.regparam_mode,
+                )
+
+            def materialize(s, e, res):
+                C, dC, c2, rp = res
                 C_all[s:e] = np.asarray(C)
                 dC_all[s:e] = np.asarray(dC)
                 c2_all[s:e] = np.asarray(c2)
@@ -303,6 +306,19 @@ class Interpolate:
                 if writer is not None:
                     writer.write_chunk(s, utime[s:e], C_all[s:e], dC_all[s:e],
                                        c2_all[s:e], rp_all[s:e])
+
+            # pipeline: the (large) device->host covariance transfer of
+            # chunk i overlaps chunk i+1's compute, which matters both over
+            # PCIe and (especially) over the dev-tunnel transport
+            pending = None
+            for s in range(start0, nrec, chunk):
+                e = min(s + chunk, nrec)
+                res = dispatch(s, e)
+                if pending is not None:
+                    materialize(*pending)
+                pending = (s, e, res)
+            if pending is not None:
+                materialize(*pending)
         if writer is not None:
             writer.close()
 
