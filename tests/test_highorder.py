@@ -79,11 +79,14 @@ def test_highorder_regularized_fit_runs(hi_model):
     assert np.max(np.abs(resid)) < 0.25 * np.max(np.abs(ne))
 
 
-def test_lambda_sweep_monotone_chi2(hi_model):
+def test_lambda_sweep_monotone_chi2():
     """chi2(alpha) non-decreasing over a lambda sweep (PSD 0thorder reg) —
-    the property that makes the root search exact."""
+    the property that makes the root search exact.  Uses a FRESH model:
+    earlier tests widen the shared fixture's table domain, which perturbs
+    the (cutoff-sensitive) sweep values on this underdetermined problem."""
     from volumetricinterp_tpu.ops.solve import cutoff_chi2, suff_stats
 
+    hi_model = Model(Config.from_text(HI_CFG))
     rng = np.random.default_rng(7)
     npts = 800
     lat = rng.uniform(74, 82, npts)
@@ -98,7 +101,11 @@ def test_lambda_sweep_monotone_chi2(hi_model):
         float(cutoff_chi2(10.0**a, AtWA, AtWb, btWb, psi))
         for a in np.linspace(-40, 0, 15)
     ]
-    # monotone modulo cutoff-flip discontinuities (sub-cutoff directions
-    # entering/leaving the retained set cause O(1%) local dips on this
-    # deliberately underdetermined problem, npts < nbasis)
-    assert all(b >= a - abs(a) * 0.02 for a, b in zip(vals, vals[1:]))
+    # monotone modulo (a) cutoff-flip discontinuities (sub-cutoff
+    # directions entering/leaving the retained set) and (b) the chi2~0
+    # noise floor of this deliberately over-parameterized problem
+    # (npts < nbasis: the unregularized residual is pure solver noise)
+    floor = 1e-6 * max(vals)
+    assert all(
+        b >= a - abs(a) * 0.02 - floor for a, b in zip(vals, vals[1:])
+    )

@@ -223,7 +223,10 @@ def gcv_objective(a_log, AtWA, AtWb, R, A, b, W, mask):
     """
     a = 10.0**a_log
     X = AtWA + a * R
-    C, H = sym_pinv_apply(X, AtWb)
+    # the LOO identity needs H to be the SAME operator that produced C
+    # (the gelsd-cutoff solve), not the pinv-cutoff covariance operator
+    eps = float(jnp.finfo(X.dtype).eps)
+    C, H = sym_pinv_apply(X, AtWb, rcond_factor_H=eps)
     yhat = A @ C  # [npoints]
     h = W * jnp.einsum("pi,ij,pj->p", A, H, A)
     r = (yhat - b) / (1.0 - h)

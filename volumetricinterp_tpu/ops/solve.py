@@ -69,17 +69,26 @@ def _eigh_safe(Xn):
     return jnp.linalg.eigh(Xn)
 
 
-def sym_pinv_apply(X, y, rcond_factor=None, want_H=True):
+def sym_pinv_apply(X, y, rcond_factor=None, want_H=True, rcond_factor_H=None):
     """Min-norm solve C = pinv(X) @ y for symmetric X, plus pinv(X).
 
-    Matches scipy.linalg.lstsq(X, y) / scipy.linalg.pinv(X) semantics
-    (interpolate.py:462-465): eigenvalues with |w| <= cutoff * max|w| are
-    treated as zero.  scipy's default cutoff is max(M,N)*eps for both lstsq
-    (gelsd rcond) and pinv (rtol).
+    Matches the reference's SOLVER PAIR exactly (interpolate.py:462-465),
+    which uses two DIFFERENT singular-value cutoffs:
+      * C comes from scipy.linalg.lstsq -> LAPACK gelsd with rcond < 0,
+        i.e. cutoff = eps * max_sv  (verified empirically: gelsd keeps
+        singular values down to eps*max, NOT max(M,N)*eps*max);
+      * the covariance H comes from scipy.linalg.pinv, whose default
+        cutoff IS max(M,N) * eps * max_sv.
+    So directions with eps*max < sv < N*eps*max are fit (huge C
+    components) but reported as zero-variance — a reference inconsistency
+    reproduced faithfully here.
     """
     n = X.shape[-1]
+    eps = float(jnp.finfo(X.dtype).eps)
     if rcond_factor is None:
-        rcond_factor = float(n) * float(jnp.finfo(X.dtype).eps)
+        rcond_factor = eps  # gelsd machine-precision default
+    if rcond_factor_H is None:
+        rcond_factor_H = float(n) * eps  # scipy.linalg.pinv default
     # normalize to O(1): weighted normal matrices live at absolute scales
     # ~1e-20 (W ~ error^-2 ~ 1e-21), far outside TPU linalg's comfort zone
     s = jnp.trace(X) / n
@@ -87,13 +96,14 @@ def sym_pinv_apply(X, y, rcond_factor=None, want_H=True):
     w, V = _eigh_safe(X / s)
     w = w * s
     aw = jnp.abs(w)
-    cutoff = rcond_factor * jnp.max(aw, axis=-1, keepdims=True)
-    inv_w = jnp.where(aw > cutoff, 1.0 / w, 0.0)
+    wmax = jnp.max(aw, axis=-1, keepdims=True)
+    inv_w = jnp.where(aw > rcond_factor * wmax, 1.0 / w, 0.0)
     Vty = V.T @ y
     C = V @ (inv_w * Vty)
     if not want_H:
         return C, None
-    H = (V * inv_w[None, :]) @ V.T
+    inv_w_H = jnp.where(aw > rcond_factor_H * wmax, 1.0 / w, 0.0)
+    H = (V * inv_w_H[None, :]) @ V.T
     return C, H
 
 
