@@ -114,3 +114,17 @@ def test_fit_with_rbf_model(model, rng):
     )
     resid = A @ np.asarray(C[0]) - ne
     assert np.max(np.abs(resid)) < 0.2 * np.max(np.abs(ne))
+
+
+def test_rbf_grid_eval_fast_path(model, rng):
+    """RBF fused f32 grid evaluator vs the f64 basis path."""
+    from volumetricinterp_tpu.ops.grid_eval import grid_eval
+
+    lat = rng.uniform(74.5, 79.5, 500)
+    lon = rng.uniform(262, 283, 500)
+    alt = rng.uniform(1.5e5, 5.5e5, 500)
+    C = rng.normal(size=model.nbasis) * 1e11
+    fast = np.asarray(grid_eval(model, C, lat, lon, alt))
+    truth = np.asarray(model.basis(lat, lon, alt)) @ C
+    scale = np.max(np.abs(truth))
+    assert np.max(np.abs(fast - truth)) < 5e-4 * scale

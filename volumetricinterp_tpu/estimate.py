@@ -149,21 +149,26 @@ class Estimate:
         compiled kernel.
         """
         from . import coords as _coords
-        from .ops.grid_eval import GridEvaluator
+        from .ops.grid_eval import make_grid_evaluator
 
         C, _ = self.get_C(time)
-        lat = np.asarray(gdlat, dtype=np.float64)
-        _, t, _ = _coords.np_geodetic_to_cap(
-            lat.ravel(), np.asarray(gdlon).ravel(), np.asarray(gdalt).ravel(),
-            self.model.latcp, self.model.loncp,
-        )
-        lo, hi = float(t.min()), float(t.max())
+        if hasattr(self.model, "tables"):  # band-limited (sphharmlag)
+            lat = np.asarray(gdlat, dtype=np.float64)
+            _, t, _ = _coords.np_geodetic_to_cap(
+                lat.ravel(), np.asarray(gdlon).ravel(),
+                np.asarray(gdalt).ravel(),
+                self.model.latcp, self.model.loncp,
+            )
+            lo, hi = float(t.min()), float(t.max())
+        else:  # RBF models have no colatitude band
+            lo, hi = 0.0, float(np.pi)
         ev = getattr(self, "_grid_ev", None)
         if ev is None or ev.impl_requested != impl or not (
             ev.theta_lo <= lo and hi <= ev.theta_hi
         ):
-            self.model.ensure_theta_domain(hi)
-            ev = GridEvaluator(self.model, (lo, hi), impl=impl)
+            if hasattr(self.model, "ensure_theta_domain"):
+                self.model.ensure_theta_domain(hi)
+            ev = make_grid_evaluator(self.model, (lo, hi), impl=impl)
             ev.impl_requested = impl
             self._grid_ev = ev
         out = ev(C, gdlat, gdlon, gdalt)

@@ -207,15 +207,66 @@ class GridEvaluator:
         return out.reshape(shape)
 
 
-def grid_eval(model, C, gdlat, gdlon, gdalt, impl=None, dtype=jnp.float32):
-    """One-shot convenience wrapper (builds a GridEvaluator per call)."""
-    lat = np.asarray(gdlat, dtype=np.float64)
-    z, t, p = (
-        np.asarray(v)
-        for v in coords.geodetic_to_cap(
-            lat.ravel(), np.asarray(gdlon).ravel(), np.asarray(gdalt).ravel(),
-            model.latcp, model.loncp,
+class RBFGridEvaluator:
+    """Fused float32 dense-grid evaluator for the radbasfun model.
+
+    out(x) = sum_n C_n exp(-||R(x) - c_n||^2 / eps^2): one [npoints, 3] x
+    [3, nbasis] matmul + exp + one [npoints, nbasis] x [nbasis] contraction
+    — XLA fuses this optimally on the MXU, no Pallas needed."""
+
+    def __init__(self, model, dtype=jnp.float32, impl=None):
+        self.model = model
+        self.dtype = dtype
+        self.impl = "xla"
+        self.theta_lo, self.theta_hi = 0.0, float(np.pi)  # no band concept
+        self._centers = np.asarray(model.centers, dtype=np.dtype(dtype))
+        self._inv_eps2 = 1.0 / float(model.eps) ** 2
+        self._jit_eval = jax.jit(self._eval_flat)
+
+    def fold_coeffs(self, C):
+        return jnp.asarray(np.asarray(C), dtype=self.dtype)
+
+    def _eval_flat(self, C, lat, lon, alt):
+        x, y, z = coords.geodetic2ecef(lat, lon, alt)
+        R = jnp.stack([x, y, z], axis=-1).astype(self.dtype)
+        cen = jnp.asarray(self._centers)
+        d2 = (
+            jnp.sum(R * R, axis=-1, keepdims=True)
+            - 2.0 * (R @ cen.T)
+            + jnp.sum(cen * cen, axis=-1)[None, :]
         )
+        A = jnp.exp(-jnp.maximum(d2, 0.0) * self.dtype(self._inv_eps2))
+        return A @ C
+
+    def __call__(self, C, gdlat, gdlon, gdalt):
+        gdlat = jnp.asarray(gdlat)
+        shape = gdlat.shape
+        out = self._jit_eval(
+            self.fold_coeffs(C),
+            jnp.asarray(gdlat, dtype=self.dtype).ravel(),
+            jnp.asarray(gdlon, dtype=self.dtype).ravel(),
+            jnp.asarray(gdalt, dtype=self.dtype).ravel(),
+        )
+        return out.reshape(shape)
+
+
+def make_grid_evaluator(model, theta_range=None, dtype=jnp.float32,
+                        impl=None):
+    """Model-dispatching evaluator factory (sphharmlag needs a theta band;
+    radbasfun does not)."""
+    if hasattr(model, "tables"):
+        return GridEvaluator(model, theta_range, dtype=dtype, impl=impl)
+    return RBFGridEvaluator(model, dtype=dtype, impl=impl)
+
+
+def grid_eval(model, C, gdlat, gdlon, gdalt, impl=None, dtype=jnp.float32):
+    """One-shot convenience wrapper (builds an evaluator per call)."""
+    if not hasattr(model, "tables"):
+        return RBFGridEvaluator(model, dtype=dtype)(C, gdlat, gdlon, gdalt)
+    lat = np.asarray(gdlat, dtype=np.float64)
+    z, t, p = coords.np_geodetic_to_cap(
+        lat.ravel(), np.asarray(gdlon).ravel(), np.asarray(gdalt).ravel(),
+        model.latcp, model.loncp,
     )
     model.ensure_theta_domain(float(t.max()))
     ev = GridEvaluator(
