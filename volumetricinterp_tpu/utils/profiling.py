@@ -30,8 +30,8 @@ def trace(logdir="/tmp/vitpu_trace"):
 def debug_mode(nans=True, checks=True):
     import jax
 
-    old_nans = jax.config.read("jax_debug_nans")
-    old_checks = jax.config.read("jax_enable_checks")
+    old_nans = jax.config.jax_debug_nans
+    old_checks = jax.config.jax_enable_checks
     jax.config.update("jax_debug_nans", bool(nans))
     jax.config.update("jax_enable_checks", bool(checks))
     try:
