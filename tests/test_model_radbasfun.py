@@ -119,9 +119,8 @@ def test_fit_with_rbf_model(model, rng):
 def test_rbf_grid_eval_fast_path(model):
     """RBF fused f32 grid evaluator vs the f64 basis path.
 
-    Own RNG (the session rng's state depends on test order): f32 accuracy
-    here is limited by the ECEF magnitudes (~6.4e6 m) squaring inside the
-    distance computation — relative error ~1e-4 of the field scale."""
+    Own RNG (the session rng's state depends on test order).  The
+    evaluator recentres coordinates before squaring (f32 resolution)."""
     from volumetricinterp_tpu.ops.grid_eval import grid_eval
 
     rng = np.random.default_rng(99)
@@ -132,4 +131,4 @@ def test_rbf_grid_eval_fast_path(model):
     fast = np.asarray(grid_eval(model, C, lat, lon, alt))
     truth = np.asarray(model.basis(lat, lon, alt)) @ C
     scale = np.max(np.abs(truth))
-    assert np.max(np.abs(fast - truth)) < 2e-3 * scale
+    assert np.max(np.abs(fast - truth)) < 5e-5 * scale
