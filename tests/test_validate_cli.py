@@ -69,3 +69,27 @@ def test_cli_window_and_resume(validate_workspace):
 def test_cli_validate_flag(validate_workspace):
     cli_main([validate_workspace["cfgfile"], "--validate"])
     assert os.path.exists(validate_workspace["png"])
+
+
+def test_interpolate_checkpoint_resume(validate_workspace, tmp_path):
+    """resume=True checkpoints per chunk; a second resumed run skips
+    completed chunks and produces the same coefficients."""
+    import h5py
+    from volumetricinterp_tpu import Interpolate
+    from volumetricinterp_tpu.config import Config
+
+    out = str(tmp_path / "ckpt.h5")
+    text = open(validate_workspace["cfgfile"]).read()
+    text = text.replace(validate_workspace["out"], out)
+    text += "\n[TPU]\nCHUNK_SIZE = 2\n"
+
+    interp = Interpolate(Config.from_text(text))
+    interp.calc_coeffs(resume=True)
+    with h5py.File(out, "r") as f:
+        assert int(f["nrec_done"][()]) == interp.Coeffs.shape[0]
+    C_first = interp.Coeffs.copy()
+
+    # resumed run: all chunks already done -> no refitting, same contents
+    interp2 = Interpolate(Config.from_text(text))
+    interp2.calc_coeffs(resume=True)
+    np.testing.assert_array_equal(interp2.Coeffs, C_first)

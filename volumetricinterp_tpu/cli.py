@@ -47,7 +47,8 @@ def main(argv=None):
                         help="ISO start time (overrides full-file fit)")
     parser.add_argument("--endtime", default=None, help="ISO end time")
     parser.add_argument("--resume", action="store_true",
-                        help="resume a partially-written output file")
+                        help="checkpointed mode: flush each record chunk to "
+                             "the output file and resume a partial run")
     parser.add_argument("--profile", action="store_true",
                         help="print per-phase wall times at the end")
 

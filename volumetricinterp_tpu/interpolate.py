@@ -243,10 +243,13 @@ class Interpolate:
         chunk = self.config.tpu.chunk_size or min(nrec, 256) or 1
         writer = None
         start0 = 0
-        if resume and self.outputfilename and os.path.exists(self.outputfilename):
+        if resume and self.outputfilename:
+            # checkpointed mode: per-chunk flush; a pre-existing partial
+            # file resumes at its last completed chunk
             writer = self._make_writer(nrec)
             start0 = writer.nrec_done
-            logger.info("resuming at record %d / %d", start0, nrec)
+            if start0:
+                logger.info("resuming at record %d / %d", start0, nrec)
 
         C_all = np.zeros((nrec, nb))
         dC_all = np.zeros((nrec, nb, nb))
