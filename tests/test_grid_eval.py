@@ -80,3 +80,29 @@ def test_shape_preservation(model, points):
     out = ev(C, lat[:60].reshape(3, 4, 5), lon[:60].reshape(3, 4, 5),
              alt[:60].reshape(3, 4, 5))
     assert out.shape == (3, 4, 5)
+
+
+def test_batched_records_matches_single(model, points):
+    """eval_records (one dispatch for many coefficient vectors) vs per-
+    record calls, XLA and Pallas-interpret."""
+    lat, lon, alt, trange, C, truth = points
+    rng = np.random.default_rng(21)
+    Cs = rng.normal(size=(3, model.nbasis)) * 1e11
+
+    ev_x = GridEvaluator(model, trange, impl="xla")
+    batched = np.asarray(ev_x.eval_records(Cs, lat[:4096], lon[:4096], alt[:4096]))
+    singles = np.stack(
+        [np.asarray(ev_x(c, lat[:4096], lon[:4096], alt[:4096])) for c in Cs]
+    )
+    scale = np.max(np.abs(singles))
+    assert np.max(np.abs(batched - singles)) < 1e-6 * scale
+
+    ev_p = GridEvaluator(model, trange, impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        batched_p = np.asarray(
+            ev_p.eval_records(Cs, lat[:4096], lon[:4096], alt[:4096])
+        )
+        singles_p = np.stack(
+            [np.asarray(ev_p(c, lat[:4096], lon[:4096], alt[:4096])) for c in Cs]
+        )
+    assert np.max(np.abs(batched_p - singles_p)) < 1e-6 * scale

@@ -187,14 +187,21 @@ class Estimate:
         hull mask is computed once.
         """
         times = list(times)
-        out = np.empty((len(times),) + np.shape(gdlat))
         inside = None
         if check_hull:
             inside = np.asarray(hull_mask(self._hull_eqs, gdlat, gdlon, gdalt))
-        for i, t in enumerate(times):
-            o = self.grid_eval(t, gdlat, gdlon, gdalt, check_hull=False,
-                               impl=impl)
-            if inside is not None:
-                o = np.where(inside, o, np.nan)
-            out[i] = o
+
+        # prime/reuse the cached evaluator through a first-grid call
+        self.grid_eval(times[0], gdlat, gdlon, gdalt, check_hull=False,
+                       impl=impl)
+        ev = self._grid_ev
+        Cs = np.stack([np.asarray(self.get_C(t)[0]) for t in times])
+        if hasattr(ev, "eval_records"):
+            out = np.asarray(ev.eval_records(Cs, gdlat, gdlon, gdalt))
+        else:  # RBF evaluator: per-record calls (a single matmul each)
+            out = np.stack(
+                [np.asarray(ev(C, gdlat, gdlon, gdalt)) for C in Cs]
+            )
+        if inside is not None:
+            out = np.where(inside[None], out, np.nan)
         return out

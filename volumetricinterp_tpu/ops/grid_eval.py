@@ -206,6 +206,41 @@ class GridEvaluator:
         )
         return out.reshape(shape)
 
+    # -- batched multi-record evaluation (keogram/volume products) -------
+
+    def _eval_records_flat(self, ceff_all, lat, lon, alt):
+        if self.impl == "pallas":
+            from .grid_eval_pallas import eval_records_latlonalt_pallas
+
+            return eval_records_latlonalt_pallas(
+                lat.astype(self.dtype), lon.astype(self.dtype),
+                alt.astype(self.dtype), ceff_all, self,
+            )
+        z, t, p = coords.geodetic_to_cap(
+            lat, lon, alt, self.model.latcp, self.model.loncp
+        )
+        return jax.vmap(
+            lambda ce: self._clenshaw_trig_radial(z, t, p, ce)
+        )(ceff_all)
+
+    def eval_records(self, Cs, gdlat, gdlon, gdalt):
+        """Evaluate the SAME grid with many coefficient vectors in one
+        dispatch.  Cs: [nrec, nbasis]; returns [nrec, *grid.shape]."""
+        gdlat = jnp.asarray(gdlat)
+        shape = gdlat.shape
+        ceff_all = jnp.stack([self.fold_coeffs(C) for C in np.asarray(Cs)])
+        jit_fn = getattr(self, "_jit_eval_records", None)
+        if jit_fn is None:
+            jit_fn = jax.jit(self._eval_records_flat)
+            self._jit_eval_records = jit_fn
+        out = jit_fn(
+            ceff_all,
+            jnp.asarray(gdlat, dtype=self.dtype).ravel(),
+            jnp.asarray(gdlon, dtype=self.dtype).ravel(),
+            jnp.asarray(gdalt, dtype=self.dtype).ravel(),
+        )
+        return out.reshape((len(Cs),) + shape)
+
 
 class RBFGridEvaluator:
     """Fused float32 dense-grid evaluator for the radbasfun model.

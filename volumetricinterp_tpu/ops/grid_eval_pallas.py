@@ -106,9 +106,14 @@ def _atan2f(y, x):
     return ang
 
 
-def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_c_ref, ceff_s_ref,
+def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_ref,
             out_ref, *, buckets, maxl, maxk, mbar_pair,
             theta_lo, theta_hi, kx, ky, ct0, st0):
+    """One (record, point-tile) grid step.
+
+    ceff_ref: SMEM block [1, 2, npairs, maxk] — the current record's
+    effective coefficients (cos/sin branches); the grid's record axis
+    selects the row, so a whole day of records runs as one dispatch."""
     deg2rad = np.float32(np.pi / 180.0)
     latr = lat_ref[0] * deg2rad  # [SUB, LANES]
     lonr = lon_ref[0] * deg2rad
@@ -174,23 +179,31 @@ def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_c_ref, ceff_s_ref,
 
         for jj in range(count):
             j = start + jj
-            rc = ceff_c_ref[j, 0] * lag[0]
-            rs = ceff_s_ref[j, 0] * lag[0]
+            rc = ceff_ref[0, 0, j, 0] * lag[0]
+            rs = ceff_ref[0, 1, j, 0] * lag[0]
             for kk in range(1, maxk):
-                rc = rc + ceff_c_ref[j, kk] * lag[kk]
-                rs = rs + ceff_s_ref[j, kk] * lag[kk]
+                rc = rc + ceff_ref[0, 0, j, kk] * lag[kk]
+                rs = rs + ceff_ref[0, 1, j, kk] * lag[kk]
             mb = mbar_pair[j]
             acc = acc + P[jj] * (cosm[mb] * rc + sinm[mb] * rs)
 
-    out_ref[0] = acc * jnp.exp(-0.5 * zt)
+    out_ref[0, 0] = acc * jnp.exp(-0.5 * zt)
 
 
 def eval_latlonalt_pallas(lat, lon, alt, ceff, ev):
-    """Flat-array evaluation through the kernel (geodetic inputs).
+    """Flat-array single-record evaluation (geodetic inputs).
 
-    ceff: [2, npairs_pad, maxk] from GridEvaluator.fold_coeffs; ev: the
-    GridEvaluator (static config)."""
+    ceff: [2, npairs_pad, maxk] from GridEvaluator.fold_coeffs."""
+    return eval_records_latlonalt_pallas(lat, lon, alt, ceff[None], ev)[0]
+
+
+def eval_records_latlonalt_pallas(lat, lon, alt, ceff_all, ev):
+    """Batched multi-record evaluation: the SAME point set evaluated with
+    nrec coefficient vectors in one dispatch (keogram/volume products).
+
+    ceff_all: [nrec, 2, npairs_pad, maxk]; returns [nrec, npoints]."""
     n = lat.shape[0]
+    nrec = ceff_all.shape[0]
     ntiles = max((n + TILE - 1) // TILE, 1)
     npad = ntiles * TILE
 
@@ -208,7 +221,7 @@ def eval_latlonalt_pallas(lat, lon, alt, ceff, ev):
     coef_p = ev._coef[:npairs][perm]  # [npairs, D]
     coef4 = np.ascontiguousarray(coef_p.T)[:, :, None, None].astype(np.float32)
     mbar_perm = tuple(int(m) for m in np.asarray(ev._mbar_pair)[perm])
-    ceff_p = ceff[:, :npairs][:, perm]  # [2, npairs, maxk]
+    ceff_p = ceff_all[:, :, :npairs][:, :, perm]  # [nrec, 2, npairs, maxk]
 
     from .. import coords as _coords
 
@@ -236,37 +249,33 @@ def eval_latlonalt_pallas(lat, lon, alt, ceff, ev):
     # np.int32 literals: under jax_enable_x64 a bare python 0 becomes an
     # int64 constant in the index map, which Mosaic refuses to lower
     zero = np.int32(0)
-    point_spec = pl.BlockSpec((1, SUB, LANES), lambda i: (i, zero, zero),
+    point_spec = pl.BlockSpec((1, SUB, LANES), lambda r, i: (i, zero, zero),
                               memory_space=pltpu.VMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ceff_spec = pl.BlockSpec(
+        (1,) + ceff_p.shape[1:], lambda r, i: (r, zero, zero, zero),
+        memory_space=pltpu.SMEM,
+    )
 
     avg_deg = float(np.mean([b[2] for b in buckets]))
     # x64 disabled inside the kernel trace (see zero note above)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kern,
-            grid=(ntiles,),
-            in_specs=[point_spec, point_spec, point_spec, vmem, smem, smem],
-            out_specs=pl.BlockSpec((1, SUB, LANES), lambda i: (i, zero, zero),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ntiles, SUB, LANES), jnp.float32),
+            grid=(nrec, ntiles),
+            in_specs=[point_spec, point_spec, point_spec, vmem, ceff_spec],
+            out_specs=pl.BlockSpec(
+                (1, 1, SUB, LANES), lambda r, i: (r, i, zero, zero),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((nrec, ntiles, SUB, LANES),
+                                           jnp.float32),
             cost_estimate=pl.CostEstimate(
-                flops=int(4 * avg_deg * npairs * npad),
-                bytes_accessed=4 * 4 * npad,
-                transcendentals=10 * npad,
+                flops=int(4 * avg_deg * npairs * npad * nrec),
+                bytes_accessed=4 * 4 * npad * nrec,
+                transcendentals=10 * npad * nrec,
             ),
         )(latp, lonp, altp, jnp.asarray(coef4),
-          ceff_p[0].astype(jnp.float32), ceff_p[1].astype(jnp.float32))
+          jnp.asarray(ceff_p, dtype=jnp.float32))
 
-    return out.reshape(npad)[:n]
-
-
-def eval_ztp_pallas(z, t, p, ceff, ev):
-    """Back-compat entry from precomputed cap coordinates: reconstructs
-    nothing — kept for tests that feed (z, t, p) directly; runs the math of
-    GridEvaluator._clenshaw_trig_radial without the fused transform."""
-    raise NotImplementedError(
-        "use eval_latlonalt_pallas (the kernel fuses the coordinate "
-        "transform)"
-    )
+    return out.reshape(nrec, npad)[:, :n]
