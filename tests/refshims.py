@@ -1,0 +1,135 @@
+"""Dependency shims that let the ACTUAL reference package run in this
+environment (pymap3d / pytables / cartopy are not installed here).
+
+Used by tests/test_against_reference.py to execute the reference
+implementation IN PLACE from /root/reference (read-only import, no code
+copied) as the ground-truth oracle.  The shims implement exactly the API
+surface the reference touches:
+
+* pymap3d.geodetic2ecef / ecef2geodetic  (WGS-84; numpy closed forms)
+* tables.open_file with get_node/create_group/create_array over h5py
+* cartopy.crs.{LambertConformal, PlateCarree, Geodetic} dummies (only
+  needed at validate.py import time)
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+
+def _make_pymap3d():
+    m = types.ModuleType("pymap3d")
+    from volumetricinterp_tpu.coords import np_geodetic2ecef
+
+    def geodetic2ecef(lat, lon, alt, **kw):
+        return np_geodetic2ecef(lat, lon, alt)
+
+    def ecef2geodetic(x, y, z, **kw):
+        import jax
+
+        from volumetricinterp_tpu import coords
+
+        la, lo, al = coords.ecef2geodetic(
+            np.asarray(x, dtype=np.float64),
+            np.asarray(y, dtype=np.float64),
+            np.asarray(z, dtype=np.float64),
+        )
+        return np.asarray(la), np.asarray(lo), np.asarray(al)
+
+    m.geodetic2ecef = geodetic2ecef
+    m.ecef2geodetic = ecef2geodetic
+    return m
+
+
+class _H5Node:
+    def __init__(self, dset):
+        self._d = dset
+
+    def __getitem__(self, idx):
+        return self._d[idx]
+
+    def read(self):
+        return self._d[()]
+
+
+class _H5File:
+    """Minimal pytables.File lookalike over h5py (the subset the reference
+    uses: get_node, create_group, create_array)."""
+
+    def __init__(self, filename, mode):
+        import h5py
+
+        self._f = h5py.File(filename, mode)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self._f.close()
+
+    def get_node(self, path):
+        return _H5Node(self._f[path])
+
+    def create_group(self, where, name, title=""):
+        path = (where.rstrip("/") + "/" + name) if isinstance(where, str) \
+            else (where + "/" + name)
+        self._f.create_group(path)
+        return path
+
+    def create_array(self, where, name, obj=None, title=""):
+        base = where if isinstance(where, str) else str(where)
+        path = base.rstrip("/") + "/" + name
+        if isinstance(obj, list) and obj and isinstance(obj[0], str):
+            obj = np.array([s.encode("utf-8") for s in obj])
+        elif isinstance(obj, bytes):
+            obj = np.bytes_(obj)
+        elif isinstance(obj, str):
+            obj = np.bytes_(obj.encode("utf-8"))
+        self._f.create_dataset(path, data=obj)
+        return path
+
+
+def _make_tables():
+    m = types.ModuleType("tables")
+    m.open_file = lambda filename, mode="r": _H5File(filename, mode)
+    return m
+
+
+def _make_cartopy():
+    pkg = types.ModuleType("cartopy")
+    crs = types.ModuleType("cartopy.crs")
+
+    class _Proj:
+        def __init__(self, *a, **kw):
+            pass
+
+    crs.LambertConformal = _Proj
+    crs.PlateCarree = _Proj
+    crs.Geodetic = _Proj
+    pkg.crs = crs
+    return pkg, crs
+
+
+def install_reference(path="/root/reference"):
+    """Install shims and import the reference package from `path`.
+
+    Returns the imported reference `volumetricinterp` module.  The repo's
+    own package is volumetricinterp_tpu, so the names never collide.
+    """
+    if "pymap3d" not in sys.modules:
+        sys.modules["pymap3d"] = _make_pymap3d()
+    if "tables" not in sys.modules:
+        sys.modules["tables"] = _make_tables()
+    if "cartopy" not in sys.modules:
+        pkg, crs = _make_cartopy()
+        sys.modules["cartopy"] = pkg
+        sys.modules["cartopy.crs"] = crs
+
+    if path not in sys.path:
+        sys.path.insert(0, path)
+    import importlib
+
+    return importlib.import_module("volumetricinterp")

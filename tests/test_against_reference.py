@@ -1,0 +1,225 @@
+"""THE parity test: run the ACTUAL reference implementation (imported
+read-only from /root/reference with dependency shims, see refshims.py) and
+this framework on the same synthetic file + config, and compare every
+output surface:
+
+* fit products: chi2, regularization parameters, W-weighted fields, hull
+* coefficient-file interop BOTH ways (reference file -> our Estimate; our
+  file -> reference Estimate)
+* evaluation parity on a grid
+
+This removes any dependence on the hand-written oracle in tests/oracle.
+"""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pytest
+
+from volumetricinterp_tpu import Estimate, Interpolate
+from volumetricinterp_tpu.config import Config
+from volumetricinterp_tpu.io.synth import write_synthetic_amisr
+from volumetricinterp_tpu.models.sphharmlag import Model
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/volumetricinterp"),
+    reason="reference checkout not available",
+)
+
+
+CFG_TEMPLATE = """
+[DEFAULT]
+PARAM = dens
+FILENAME = {raw}
+OUTPUTFILENAME = {out}
+REGULARIZATION_LIST = 0thorder
+REGULARIZATION_METHOD = chi2
+ERRLIM = 1e10,1e13
+GOODFITCODE = 1,2,3,4
+CHI2LIM = 0.1,10
+
+[MODEL]
+NAME = sphharmlag
+MAXK = 2
+MAXL = 3
+CAP_LIM = 10
+MAX_Z_INT = INF
+LATCP = 78
+LONCP = 262
+
+[VALIDATE]
+STARTTIME = 2016-11-27T22:45:00
+ENDTIME = 2016-11-27T22:50:00
+ALTITUDES = 250.0,300.0
+COLORLIM = 0.0,5.0e11
+OUTPNGNAME = fig.png
+"""
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    from tests.refshims import install_reference
+
+    ref = install_reference()
+
+    tmp = tmp_path_factory.mktemp("refcmp")
+    raw = str(tmp / "synth.h5")
+    out_ref = str(tmp / "coef_ref.h5")
+    out_ours = str(tmp / "coef_ours.h5")
+
+    cfg_ref = str(tmp / "ref.ini")
+    cfg_ours = str(tmp / "ours.ini")
+    with open(cfg_ref, "w") as f:
+        f.write(CFG_TEMPLATE.format(raw=raw, out=out_ref))
+    with open(cfg_ours, "w") as f:
+        f.write(CFG_TEMPLATE.format(raw=raw, out=out_ours))
+
+    model = Model(Config.from_file(cfg_ours))
+    write_synthetic_amisr(raw, nrec=4, seed=77, smooth_in_model=model,
+                          nan_frac=0.04, bad_frac=0.02)
+
+    # the REFERENCE pipeline, running its own code
+    ref_interp = ref.Interpolate(cfg_ref)
+    ref_interp.calc_coeffs()
+    ref_interp.saveh5()
+
+    # ours
+    our_interp = Interpolate(cfg_ours)
+    our_interp.calc_coeffs()
+    our_interp.saveh5()
+
+    return dict(ref_mod=ref, ref=ref_interp, ours=our_interp, raw=raw,
+                out_ref=out_ref, out_ours=out_ours, cfg_ours=cfg_ours)
+
+
+def test_fit_products_match_reference(setup):
+    ref, ours = setup["ref"], setup["ours"]
+    assert ref.Coeffs.shape == ours.Coeffs.shape
+    np.testing.assert_array_equal(np.asarray(ref.time), np.asarray(ours.time))
+    # hull vertices identical (same qhull on same points)
+    np.testing.assert_allclose(
+        np.sort(ref.hull_vert, axis=0), np.sort(ours.hull_vert, axis=0),
+        rtol=1e-12,
+    )
+    # per-record chi2 + weighted-field parity
+    utime, lat, lon, alt, value, error = ours.read_datafile(setup["raw"])
+    A = np.asarray(ours.model.basis(lat, lon, alt))
+    for r in range(ref.Coeffs.shape[0]):
+        ref_nan = np.isnan(ref.chi_sq[r])
+        assert ref_nan == bool(np.isnan(ours.chi_sq[r])), r
+        if ref_nan:
+            continue
+        assert np.isclose(ours.chi_sq[r], ref.chi_sq[r], rtol=1e-4), r
+        mask = np.isfinite(value[r])
+        sw = 1.0 / error[r][mask]
+        y_ref = (A @ ref.Coeffs[r])[mask] * sw
+        y_our = (A @ ours.Coeffs[r])[mask] * sw
+        # 2e-2: cutoff-straddling roots carry O(%) alpha noise in ANY
+        # implementation (docs/PARITY_NOTES.md #7)
+        assert np.linalg.norm(y_our - y_ref) < 2e-2 * np.linalg.norm(y_ref), r
+
+
+def test_reference_file_reads_through_our_estimate(setup):
+    """Coefficient file written by the REFERENCE loads and evaluates
+    through our Estimate (schema + embedded-config interop)."""
+    ref = setup["ref"]
+    est = Estimate(setup["out_ref"])
+    assert est.model.nbasis == ref.model.nbasis
+    ok = np.where(np.isfinite(ref.chi_sq))[0]
+    r = int(ok[0])
+    t_mid = dt.datetime.utcfromtimestamp(np.mean(ref.time[r]))
+    lat = np.linspace(74.5, 76.5, 6)
+    lon = np.full(6, 265.0)
+    alt = np.full(6, 300e3)
+    P = est(t_mid, lat, lon, alt, check_hull=False)
+    expected = np.asarray(est.model.basis(lat, lon, alt)) @ ref.Coeffs[r]
+    np.testing.assert_allclose(np.asarray(P), expected, rtol=1e-8)
+
+
+def test_our_file_reads_through_reference_estimate(setup):
+    """Coefficient file written by US loads and evaluates through the
+    REFERENCE's Estimate class."""
+    ref_mod, ours = setup["ref_mod"], setup["ours"]
+    est_ref = ref_mod.Estimate(setup["out_ours"])
+    ok = np.where(np.isfinite(ours.chi_sq))[0]
+    r = int(ok[0])
+    t_mid = dt.datetime.utcfromtimestamp(np.mean(ours.time[r]))
+    lat = np.linspace(74.8, 76.0, 5)
+    lon = np.full(5, 265.0)
+    alt = np.full(5, 300e3)
+    P_ref = est_ref(t_mid, lat, lon, alt, check_hull=False)
+    P_our = Estimate(setup["out_ours"])(t_mid, lat, lon, alt,
+                                        check_hull=False)
+    # the two Estimate implementations evaluate the same coefficients with
+    # independently-computed bases
+    np.testing.assert_allclose(np.asarray(P_our), np.asarray(P_ref),
+                               rtol=1e-6)
+
+
+def test_hull_masks_agree_with_reference(setup):
+    ref_mod, ours = setup["ref_mod"], setup["ours"]
+    est_ref = ref_mod.Estimate(setup["out_ours"])
+    est_our = Estimate(setup["out_ours"])
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(72, 80, 25)
+    lon = rng.uniform(258, 272, 25)
+    alt = rng.uniform(1e5, 9e5, 25)
+    m_ref = np.asarray(est_ref.check_hull(lat, lon, alt))
+    m_our = np.asarray(est_our.check_hull(lat, lon, alt))
+    # allow boundary-grazing disagreement (qhull tolerance)
+    agree = (m_ref == m_our).mean()
+    assert agree >= 0.92, (m_ref, m_our)
+    assert m_our.any() and (~m_our).any()
+
+
+def test_curvature_regularization_matches_reference(setup, tmp_path):
+    """Curvature mode: the z-integral is DIVERGENT and both sides build
+    Omega from the same deterministic QUADPACK values (PARITY_NOTES #3) —
+    the fits must agree like the 0thorder ones do."""
+    import warnings
+
+    ref_mod = setup["ref_mod"]
+    raw = setup["raw"]
+    out_ref = str(tmp_path / "curv_ref.h5")
+    out_our = str(tmp_path / "curv_our.h5")
+    cfg_ref = str(tmp_path / "curv_ref.ini")
+    cfg_our = str(tmp_path / "curv_our.ini")
+    text = CFG_TEMPLATE.format(raw=raw, out=out_ref).replace(
+        "REGULARIZATION_LIST = 0thorder", "REGULARIZATION_LIST = curvature"
+    )
+    with open(cfg_ref, "w") as f:
+        f.write(text)
+    with open(cfg_our, "w") as f:
+        f.write(text.replace(out_ref, out_our))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref_i = ref_mod.Interpolate(cfg_ref)
+        ref_i.calc_coeffs()
+    our_i = Interpolate(cfg_our)
+    our_i.calc_coeffs()
+
+    # our quad-mode Omega equals the reference's pairwise quadratures
+    ref_omega = ref_i.model.eval_reg_matricies["curvature"]()
+    our_omega = np.asarray(our_i.model.eval_reg_matricies["curvature"]())
+    sup = np.max(np.abs(ref_omega))
+    assert np.max(np.abs(our_omega - ref_omega)) < 1e-9 * sup
+
+    utime, lat, lon, alt, value, error = our_i.read_datafile(raw)
+    A = np.asarray(our_i.model.basis(lat, lon, alt))
+    n_cmp = 0
+    for r in range(ref_i.Coeffs.shape[0]):
+        if np.isnan(ref_i.chi_sq[r]) or np.isnan(our_i.chi_sq[r]):
+            assert bool(np.isnan(ref_i.chi_sq[r])) == bool(
+                np.isnan(our_i.chi_sq[r])
+            ), r
+            continue
+        n_cmp += 1
+        assert np.isclose(our_i.chi_sq[r], ref_i.chi_sq[r], rtol=1e-3), r
+        mask = np.isfinite(value[r])
+        sw = 1.0 / error[r][mask]
+        y_ref = (A @ ref_i.Coeffs[r])[mask] * sw
+        y_our = (A @ our_i.Coeffs[r])[mask] * sw
+        assert np.linalg.norm(y_our - y_ref) < 5e-2 * np.linalg.norm(y_ref), r
+    assert n_cmp >= 2
