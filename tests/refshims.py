@@ -123,7 +123,8 @@ def install_reference(path="/root/reference"):
         sys.modules["pymap3d"] = _make_pymap3d()
     if "tables" not in sys.modules:
         sys.modules["tables"] = _make_tables()
-    if "cartopy" not in sys.modules:
+    fake_cartopy = "cartopy" not in sys.modules
+    if fake_cartopy:
         pkg, crs = _make_cartopy()
         sys.modules["cartopy"] = pkg
         sys.modules["cartopy.crs"] = crs
@@ -132,4 +133,13 @@ def install_reference(path="/root/reference"):
         sys.path.insert(0, path)
     import importlib
 
-    return importlib.import_module("volumetricinterp")
+    try:
+        return importlib.import_module("volumetricinterp")
+    finally:
+        # the reference's validate module holds its binding to the dummy
+        # cartopy; REMOVE the shim from sys.modules so OUR Validate (which
+        # feature-detects cartopy) does not mistake the dummy for the real
+        # thing in later tests of the same session
+        if fake_cartopy:
+            sys.modules.pop("cartopy", None)
+            sys.modules.pop("cartopy.crs", None)
