@@ -50,20 +50,6 @@ def cheb_fit(values: np.ndarray) -> np.ndarray:
     return c
 
 
-def cheb_eval_matrix(u: jnp.ndarray, degree: int) -> jnp.ndarray:
-    """T_k(u) for k = 0..degree-1, shape u.shape + (degree,).
-
-    Closed form T_k(u) = cos(k arccos u): a single outer product + cos,
-    which traces to 3 XLA ops regardless of degree (the unrolled three-term
-    recurrence compiles ~100x slower at degree ~200).  NOTE: on TPU the f64
-    trig is only f32-accurate; the accuracy-critical paths use
-    cheb_clenshaw() (polynomial ops only) instead.
-    """
-    u = jnp.clip(jnp.asarray(u), -1.0, 1.0)
-    k = jnp.arange(degree, dtype=u.dtype)
-    return jnp.cos(jnp.arccos(u)[..., None] * k)
-
-
 def cheb_clenshaw(u: jnp.ndarray, coef: jnp.ndarray) -> jnp.ndarray:
     """sum_k coef[k, :] T_k(u) via Clenshaw, shape u.shape + (ncols,).
 
