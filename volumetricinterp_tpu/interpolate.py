@@ -175,14 +175,12 @@ class Interpolate:
                 )
             except KeyError as e:
                 # message parity with interpolate.py:490-493
-                print(
-                    "WARNING: The model {} does not support {} regularization!"
-                    .format(self.model_name, reg)
-                )
-                print(
-                    "If you would like to use {} regularization, please modify "
-                    "{}.py so that it includes functions to calculate the "
-                    "appropriate regularization matrix.".format(reg, self.model_name)
+                logger.warning(
+                    "The model %s does not support %s regularization! "
+                    "If you would like to use %s regularization, please "
+                    "modify %s.py so that it includes functions to calculate "
+                    "the appropriate regularization matrix.",
+                    self.model_name, reg, reg, self.model_name,
                 )
                 raise e
         self._reg_matrices_cache = reg_matricies
@@ -196,7 +194,11 @@ class Interpolate:
         chunks are skipped (checkpoint/resume, SURVEY.md section 5.4).
         """
         with self.timer.phase("reg_matrices"):
-            print("Evaluating Regularization matricies.  This may take a few minutes.")
+            # reference progress message (interpolate.py:485), via the
+            # logger so stdout stays clean for machine consumers (bench)
+            logger.info(
+                "Evaluating Regularization matricies.  This may take a few minutes."
+            )
             reg_mats_dict = self._reg_matrices()
             names = self.regularization_list
             nb = self.model.nbasis
