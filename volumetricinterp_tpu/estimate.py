@@ -14,7 +14,6 @@ TPU-first differences:
 from __future__ import annotations
 
 import datetime as dt
-import io as _io
 
 import numpy as np
 import jax.numpy as jnp
