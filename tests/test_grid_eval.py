@@ -106,3 +106,24 @@ def test_batched_records_matches_single(model, points):
             [np.asarray(ev_p(c, lat[:4096], lon[:4096], alt[:4096])) for c in Cs]
         )
     assert np.max(np.abs(batched_p - singles_p)) < 1e-6 * scale
+
+
+def test_out_of_band_points_are_nan(model, points):
+    """The f32 fast path NaNs points outside its fitted colatitude band
+    instead of extrapolating Chebyshev garbage."""
+    lat, lon, alt, trange, C, truth = points
+    ev = GridEvaluator(model, trange, impl="xla")
+    # 40 degrees south of the FoV: colatitude far outside the band
+    out = np.asarray(ev(C, np.array([40.0, lat[0]]), np.array([262.0, lon[0]]),
+                        np.array([3e5, alt[0]])))
+    assert np.isnan(out[0])
+    assert np.isfinite(out[1])
+
+    ev_p = GridEvaluator(model, trange, impl="pallas")
+    with pltpu.force_tpu_interpret_mode():
+        out_p = np.asarray(
+            ev_p(C, np.array([40.0, lat[0]]), np.array([262.0, lon[0]]),
+                 np.array([3e5, alt[0]]))
+        )
+    assert np.isnan(out_p[0])
+    assert np.isfinite(out_p[1])

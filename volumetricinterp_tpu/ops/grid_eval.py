@@ -143,8 +143,9 @@ class GridEvaluator:
         t = t.astype(dt_)
         p = p.astype(dt_)
         half = (self.theta_hi - self.theta_lo) * 0.5
-        u = (t - (self.theta_lo + half)) / half
-        u = jnp.clip(u, -1.0, 1.0)
+        u_raw = (t - (self.theta_lo + half)) / half
+        oob = jnp.abs(u_raw) > 1.0 + 1e-4
+        u = jnp.clip(u_raw, -1.0, 1.0)
 
         # vectorized Clenshaw over all pairs: b [pts, npairs_pad]
         c = jnp.asarray(self._coef)  # [npairs_pad, D] constant under jit
@@ -176,8 +177,9 @@ class GridEvaluator:
 
         Rc = jnp.einsum("pk,jk->pj", lag, ceff[0])  # cos-branch [pts, npairs_pad]
         Rs = jnp.einsum("pk,jk->pj", lag, ceff[1])
-        out = jnp.sum(P * (cos_p * Rc + sin_p * Rs), axis=-1)
-        return out * ez
+        out = jnp.sum(P * (cos_p * Rc + sin_p * Rs), axis=-1) * ez
+        # outside the fitted colatitude band: NaN, not extrapolated garbage
+        return jnp.where(oob, jnp.nan, out)
 
     def _eval_flat(self, ceff, lat, lon, alt):
         if self.impl == "pallas":

@@ -144,8 +144,11 @@ def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_ref,
     zt = np.float32(100.0) * (r * np.float32(1.0 / RE) - 1.0)
 
     half = (theta_hi - theta_lo) * 0.5
-    u = (tt - (theta_lo + half)) * (1.0 / half)
-    u = jnp.clip(u, -1.0, 1.0)[None]  # [1, SUB, LANES]
+    u_raw = (tt - (theta_lo + half)) * (1.0 / half)
+    # points outside the fitted colatitude band get NaN, not extrapolated
+    # garbage (the float64 path widens its tables adaptively instead)
+    oob = jnp.abs(u_raw) > np.float32(1.0 + 1e-4)
+    u = jnp.clip(u_raw, -1.0, 1.0)[None]  # [1, SUB, LANES]
     two_u = 2.0 * u
 
     # trig rows (Chebyshev recurrence from cos/sin of phi)
@@ -187,7 +190,8 @@ def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_ref,
             mb = mbar_pair[j]
             acc = acc + P[jj] * (cosm[mb] * rc + sinm[mb] * rs)
 
-    out_ref[0, 0] = acc * jnp.exp(-0.5 * zt)
+    out = acc * jnp.exp(-0.5 * zt)
+    out_ref[0, 0] = jnp.where(oob, np.float32(np.nan), out)
 
 
 def eval_latlonalt_pallas(lat, lon, alt, ceff, ev):
