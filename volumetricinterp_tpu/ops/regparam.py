@@ -46,11 +46,14 @@ ALPHA_MIN = -100.0
 # eigh instances coexist in HBM (the decomposition itself runs in f32 with
 # f64 Rayleigh refinement, solve._eigh_safe); keep record_chunk * GRID_CHUNK
 # <~ 4000 at nbasis=144 (v5e 16 GB).
-# The exact search is eigh-THROUGHPUT bound (not round-latency bound), so
-# minimize total evaluations: 104 grid + 7*12 refinement = 188 per record.
+# The exact search is eigh-THROUGHPUT bound, not round-latency bound
+# (measured: XLA batched f32 eigh saturates ~1480/s on v5e regardless of
+# batch size), so minimize TOTAL evaluations: 104 grid + 40 bisection steps
+# = 144 per record.  KSECTION=1 is plain bisection; more interior points
+# per round only pay off when latency dominates.
 GRID_CHUNK = 8  # alphas evaluated per sequential round (batched eigh)
-KSECTION = 7  # interior points per root-refinement round
-N_KSECTION = 12  # rounds: bracket width 1 -> 8^-12 ~ 1.5e-11 in log10
+KSECTION = 1  # interior points per root-refinement round (bisection)
+N_KSECTION = 40  # rounds: bracket width 1 -> 2^-40 ~ 9e-13 in log10
 
 
 def chi2_reg_param(AtWA, AtWb, btWb, N, R):
