@@ -223,3 +223,86 @@ def test_curvature_regularization_matches_reference(setup, tmp_path):
         y_our = (A @ our_i.Coeffs[r])[mask] * sw
         assert np.linalg.norm(y_our - y_ref) < 5e-2 * np.linalg.norm(y_ref), r
     assert n_cmp >= 2
+
+
+@pytest.mark.skipif(
+    not os.environ.get("VITPU_SLOW_TESTS"),
+    reason="production-order reference run takes minutes (set "
+           "VITPU_SLOW_TESTS=1)",
+)
+@pytest.mark.parametrize("reg", ["0thorder", "curvature"])
+def test_production_config_matches_reference(tmp_path_factory, reg):
+    """Full production order (MAXK=4, MAXL=6 — the reference's
+    example_config defaults) compared directly against the reference
+    implementation.
+
+    0thorder: PSD regularizer, monotone objective -> tight parity.
+    curvature: the reference's Omega is QUADPACK divergence garbage and
+    NON-PSD (PARITY_NOTES #3), so chi2(alpha) has noise-level sign
+    crossings and the scale-factor-ladder choice itself can flip between
+    any two correct implementations; parity is asserted at ladder
+    granularity (chi2 = nu for SOME valid sf) with matching NaN patterns
+    and bit-identical Omega."""
+    from tests.refshims import install_reference
+
+    ref_mod = install_reference()
+    tmp = tmp_path_factory.mktemp(f"prodcmp_{reg}")
+    raw = str(tmp / "synth.h5")
+    out_ref = str(tmp / "ref.h5")
+    out_our = str(tmp / "our.h5")
+
+    text = CFG_TEMPLATE.format(raw=raw, out=out_ref)
+    text = text.replace("MAXK = 2", "MAXK = 4").replace("MAXL = 3", "MAXL = 6")
+    text = text.replace("REGULARIZATION_LIST = 0thorder",
+                        f"REGULARIZATION_LIST = {reg}")
+    cfg_ref = str(tmp / "ref.ini")
+    cfg_our = str(tmp / "our.ini")
+    with open(cfg_ref, "w") as f:
+        f.write(text)
+    with open(cfg_our, "w") as f:
+        f.write(text.replace(out_ref, out_our))
+
+    model = Model(Config.from_file(cfg_our))
+    write_synthetic_amisr(raw, nrec=2, seed=123, smooth_in_model=model,
+                          nan_frac=0.03, bad_frac=0.01)
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref_i = ref_mod.Interpolate(cfg_ref)
+        ref_i.calc_coeffs()
+    our_i = Interpolate(cfg_our)
+    our_i.calc_coeffs()
+
+    # regularization-matrix bit-parity at production order
+    ref_R = ref_i.model.eval_reg_matricies[reg]()
+    our_R = np.asarray(our_i.model.eval_reg_matricies[reg]())
+    sup = np.max(np.abs(ref_R))
+    assert np.max(np.abs(our_R - ref_R)) < 1e-9 * sup
+
+    utime, lat, lon, alt, value, error = our_i.read_datafile(raw)
+    A = np.asarray(our_i.model.basis(lat, lon, alt))
+    for r in range(2):
+        assert bool(np.isnan(ref_i.chi_sq[r])) == bool(
+            np.isnan(our_i.chi_sq[r])
+        ), r
+        if np.isnan(ref_i.chi_sq[r]):
+            continue
+        N = int(np.isfinite(value[r]).sum())
+        if reg == "0thorder":
+            assert np.isclose(our_i.chi_sq[r], ref_i.chi_sq[r], rtol=1e-3), r
+            mask = np.isfinite(value[r])
+            sw = 1.0 / error[r][mask]
+            y_ref = (A @ ref_i.Coeffs[r])[mask] * sw
+            y_our = (A @ our_i.Coeffs[r])[mask] * sw
+            assert np.linalg.norm(y_our - y_ref) < 5e-2 * np.linalg.norm(
+                y_ref
+            ), r
+        else:
+            # each implementation satisfied chi2 ~ nu for SOME ladder rung
+            # (the root can sit ON a cutoff discontinuity, where the final
+            # recomputed chi2 lands within the jump gap of nu)
+            sfs = np.array([0.6, 0.7, 0.8, 0.9, 1.0])
+            for c2 in (our_i.chi_sq[r], ref_i.chi_sq[r]):
+                assert np.min(np.abs(c2 / N - sfs)) < 5e-2, (r, c2 / N)
