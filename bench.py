@@ -136,10 +136,12 @@ QUAD_MODE = gauss
     out_h5 = os.path.join(tmp, "coef.h5")
     write_synthetic_amisr(raw, nrec=1000, seed=1, smooth_in_model=model,
                           nan_frac=0.03, bad_frac=0.01)
+    # NOTE: the full-day leg runs the SHIPPED DEFAULT config — exact-mode
+    # regularization search (regparam_mode='exact'), no speed overrides
     e2e_cfg = cfg_text.replace(
         "[DEFAULT]",
         f"[DEFAULT]\nFILENAME = {raw}\nOUTPUTFILENAME = {out_h5}",
-    ).replace("QUAD_MODE = gauss", "QUAD_MODE = gauss\nREGPARAM_MODE = fast")
+    )
     interp = Interpolate(e2e_cfg)
     interp.calc_coeffs()  # includes one-time compiles (cached across runs)
     t0 = time.perf_counter()

@@ -151,12 +151,16 @@ def test_fit_records_match_oracle(model, design, records, method):
     # field values.
     # With method='manual' alpha is exact, isolating pure solver parity:
     # measured eigh-vs-gelsd noise on this (deliberately ill-conditioned)
-    # basis is ~1e-7.  With method='chi2' the root position itself carries
-    # up to ~5e-5 relative noise (the chi2(alpha) objective is flat near the
-    # root and its evaluation differs at ~1e-9 between any two correct
-    # solvers), which propagates to everything downstream of alpha.
-    tol = {"manual": 1e-6, "chi2": 1e-4}[method]
-    alpha_tol = {"manual": 1e-12, "chi2": 2e-4}[method]
+    # basis is ~1e-7.  With method='chi2' the root position itself is only
+    # defined up to the objective's fine-scale STAIRCASE: chi2(alpha) on
+    # this cutoff-heavy basis has ~1e-3-sized keep-flip steps at the
+    # ~1e-5-decade scale near the root (measured), so any two correct
+    # root-finders (scipy brentq, grid bisection, the defect iteration)
+    # legitimately land ~1e-4..1e-3 apart in log10(alpha)
+    # (docs/PARITY_NOTES.md #7/#8), which propagates to everything
+    # downstream of alpha.
+    tol = {"manual": 1e-6, "chi2": 6e-4}[method]
+    alpha_tol = {"manual": 1e-12, "chi2": 2e-3}[method]
 
     for r in range(values.shape[0]):
         C_ref, dC_ref, c2_ref, p_ref = oracle_fit_record(

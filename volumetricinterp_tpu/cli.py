@@ -51,8 +51,20 @@ def main(argv=None):
                              "the output file and resume a partial run")
     parser.add_argument("--profile", action="store_true",
                         help="print per-phase wall times at the end")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-process scale-out: initialize "
+                             "jax.distributed (VITPU_COORDINATOR / "
+                             "VITPU_NUM_PROCESSES / VITPU_PROCESS_ID, or "
+                             "auto-detected on TPU pods) and shard records "
+                             "across processes/slices")
 
     args = vars(parser.parse_args(argv))
+
+    if args["distributed"]:
+        from .parallel.distributed import initialize_distributed
+
+        pid, nproc = initialize_distributed()
+        print(f"distributed: process {pid} / {nproc}")
 
     if args["validate"]:
         from .validate import Validate

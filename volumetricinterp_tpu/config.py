@@ -87,7 +87,9 @@ class TPUConfig:
     table_domain_factor: float = 2.0  # theta table domain = factor * cap_lim
     table_tol: float = 1e-12  # Chebyshev truncation tolerance
     grid_eval_impl: str = "auto"  # 'auto' | 'pallas' | 'xla'
-    regparam_mode: str = "exact"  # 'exact' (reference cutoff) | 'fast'
+    # 'exact' (hybrid cutoff-semantics search, default) | 'exact_grid'
+    # (full cutoff-eigh grid scan, receipts baseline) | 'fast' (whitened)
+    regparam_mode: str = "exact"
     mesh_records: int = 0  # 0 = use all devices on the records axis
     mesh_points: int = 1
     chunk_size: int = 0  # records per incremental-flush chunk (0 = all)
@@ -104,16 +106,29 @@ class Config:
 
     @classmethod
     def from_file(cls, config_file) -> "Config":
-        """Load from a path, an open file object, or raw INI text."""
+        """Load from a path, an open file object, or raw INI text.
+
+        A string is treated as a path only when a file exists at it;
+        otherwise it is parsed as INI text (so a legitimate one-line INI
+        string never hits the filesystem).  A missing path still fails
+        loudly: strings that *look* like a path (no newline, no '=' or
+        '[' INI syntax) raise FileNotFoundError instead of being parsed
+        as an empty config."""
         if hasattr(config_file, "read"):
             text = config_file.read()
             path = getattr(config_file, "name", "")
-        elif isinstance(config_file, str) and (
-            os.path.exists(config_file) or len(config_file.splitlines()) == 1
-        ):
+        elif isinstance(config_file, str) and os.path.exists(config_file):
             with open(config_file) as f:
                 text = f.read()
             path = config_file
+        elif isinstance(config_file, str) and (
+            "\n" not in config_file
+            and "=" not in config_file
+            and "[" not in config_file
+        ):
+            raise FileNotFoundError(
+                f"config file not found: {config_file!r}"
+            )
         else:  # raw INI text
             text = config_file
             path = ""

@@ -111,7 +111,7 @@ class Estimate:
 
         Nearest record within timetol, or linear interpolation between the
         two bracketing record mid-times when timeinterp=True."""
-        t0 = (t - dt.datetime.utcfromtimestamp(0)).total_seconds()
+        t0 = (t - dt.datetime(1970, 1, 1)).total_seconds()
         mt = np.mean(self.time, axis=1)
 
         try:

@@ -215,7 +215,8 @@ class Interpolate:
             self.compute_hull(lat, lon, alt)
 
         if starttime and endtime:
-            epoch = dt.datetime.utcfromtimestamp(0)
+            epoch = dt.datetime(1970, 1, 1)  # naive UTC (utcfromtimestamp
+            # is deprecated; reference semantics are naive UTC datetimes)
             idx = np.argwhere(
                 (utime[:, 0] >= (starttime - epoch).total_seconds())
                 & (utime[:, 1] <= (endtime - epoch).total_seconds())
@@ -252,7 +253,10 @@ class Interpolate:
         chunk = self.config.tpu.chunk_size or min(nrec, 256) or 1
         writer = None
         start0 = 0
-        if resume and self.outputfilename:
+        import jax as _jax0
+
+        is_writer_proc = _jax0.process_index() == 0
+        if resume and self.outputfilename and is_writer_proc:
             # checkpointed mode: per-chunk flush; a pre-existing partial
             # file resumes at its last completed chunk
             writer = self._make_writer(nrec)
@@ -271,12 +275,20 @@ class Interpolate:
             if names:
                 rp_all[:start0] = writer.f["FitParams/reg_params"][:start0]
 
-        # mesh-parallel path when multiple devices are available/configured
+        # mesh-parallel path when multiple devices are available/configured;
+        # multi-process (jax.distributed) runs shard records across
+        # processes/slices with a DCN-aware global mesh (SURVEY.md 5.8)
         import jax as _jax
 
         mesh = None
+        multiproc = _jax.process_count() > 1
         ndev = len(_jax.devices())
-        if ndev > 1 or self.config.tpu.mesh_records > 1 \
+        if multiproc:
+            from .parallel.distributed import make_global_mesh
+
+            mesh = make_global_mesh(self.config.tpu.mesh_records,
+                                    self.config.tpu.mesh_points)
+        elif ndev > 1 or self.config.tpu.mesh_records > 1 \
                 or self.config.tpu.mesh_points > 1:
             from .parallel import make_mesh
 
@@ -291,28 +303,51 @@ class Interpolate:
             A_dev = jnp.asarray(A)
 
             def dispatch(s, e):
+                if multiproc:
+                    from .parallel.distributed import fit_records_distributed
+
+                    C, dC, c2, rp = fit_records_distributed(
+                        value[s:e], error[s:e], np.asarray(A), reg_mats,
+                        mesh, method=method, manual_params=mp,
+                        regparam_mode=self.config.tpu.regparam_mode,
+                    )
+                    return C, dC[:, iu[0], iu[1]], c2, rp
                 if mesh is not None:
                     from .parallel import fit_records_sharded
 
-                    return fit_records_sharded(
+                    C, dC, c2, rp = fit_records_sharded(
                         value[s:e], error[s:e], A_dev, reg_mats, mesh,
                         method=method, manual_params=mp,
                         regparam_mode=self.config.tpu.regparam_mode,
                     )
-                return fit_records(
-                    jnp.asarray(value[s:e]),
-                    jnp.asarray(error[s:e]),
-                    A_dev,
-                    reg_mats,
-                    method=method,
-                    manual_params=mp,
-                    regparam_mode=self.config.tpu.regparam_mode,
-                )
+                else:
+                    C, dC, c2, rp = fit_records(
+                        jnp.asarray(value[s:e]),
+                        jnp.asarray(error[s:e]),
+                        A_dev,
+                        reg_mats,
+                        method=method,
+                        manual_params=mp,
+                        regparam_mode=self.config.tpu.regparam_mode,
+                    )
+                return C, _pack_tri(dC), c2, rp
+
+            # dC is symmetric, so only its upper triangle crosses the
+            # device->host link (the [chunk, nb, nb] covariance dominates
+            # transfer volume; halving it keeps the pipelined copies hidden
+            # under the next chunk's compute, incl. over the dev tunnel)
+            iu = np.triu_indices(nb)
+
+            @_jax.jit
+            def _pack_tri(dC):
+                return dC[:, iu[0], iu[1]]
 
             def materialize(s, e, res):
-                C, dC, c2, rp = res
+                C, dC_tri, c2, rp = res
                 C_all[s:e] = np.asarray(C)
-                dC_all[s:e] = np.asarray(dC)
+                tri = np.asarray(dC_tri)
+                dC_all[s:e][:, iu[0], iu[1]] = tri
+                dC_all[s:e][:, iu[1], iu[0]] = tri
                 c2_all[s:e] = np.asarray(c2)
                 rp_all[s:e] = np.asarray(rp)
                 if writer is not None:
@@ -391,7 +426,14 @@ class Interpolate:
         )
 
     def saveh5(self):
-        """Write the coefficient file (reference interpolate.py:671-708)."""
+        """Write the coefficient file (reference interpolate.py:671-708).
+
+        Multi-process runs: every process holds the full (allgathered)
+        results, only process 0 writes."""
+        import jax as _jax
+
+        if _jax.process_index() != 0:
+            return
         name = os.path.basename(self.configfile) if self.configfile else ""
         path = (
             os.path.dirname(os.path.abspath(self.configfile))

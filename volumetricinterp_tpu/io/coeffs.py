@@ -107,6 +107,20 @@ class IncrementalCoeffWriter:
         self.nrec = nrec
         mode = "r+" if os.path.exists(filename) else "w"
         self.f = h5py.File(filename, mode)
+        if "Coeffs" in self.f:
+            # a pre-existing file is resumable only if it was written by
+            # this writer FOR THE SAME RUN SHAPE: a file from
+            # save_coeff_file (no /nrec_done), or from a run with a
+            # different record count / basis size, would otherwise resume
+            # with misaligned chunk offsets or KeyError later
+            resumable = (
+                "nrec_done" in self.f
+                and self.f["Coeffs/C"].shape == (nrec, nbasis)
+                and self.f["UnixTime"].shape == (nrec, 2)
+            )
+            if not resumable:
+                self.f.close()
+                self.f = h5py.File(filename, "w")
         if "Coeffs" not in self.f:
             self.f.create_dataset("UnixTime", shape=(nrec, 2), dtype="f8")
             cg = self.f.create_group("Coeffs")

@@ -40,8 +40,10 @@ def fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method: str,
     """Fit one record from sufficient statistics (chi2/manual methods; GCV
     needs per-point quantities, see fit_one_record).
 
-    regparam_mode: 'exact' uses the reference's lstsq-cutoff solve inside
-    the chi2 search; 'fast' uses the O(nbasis)-per-alpha whitened search
+    regparam_mode: 'exact' (default) uses the hybrid cutoff-semantics
+    search (~9 eighs/record, ops/regparam.chi2_reg_param); 'exact_grid'
+    uses the full 101-point cutoff-eigh grid scan (round-1 receipts
+    baseline); 'fast' uses the O(nbasis)-per-alpha whitened search
     (ops/regparam.chi2_reg_param_fast).
 
     Returns (C [nb], dC [nb, nb], chi2 [], reg_params [nreg])."""
@@ -53,8 +55,11 @@ def fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method: str,
     elif method == "chi2":
         # reference semantics: each parameter solved with all others at
         # zero (interpolate.py:120-124, 246-252)
-        search = (regparam.chi2_reg_param if regparam_mode == "exact"
-                  else regparam.chi2_reg_param_fast)
+        search = {
+            "exact": regparam.chi2_reg_param,
+            "exact_grid": regparam.chi2_reg_param_grid,
+            "fast": regparam.chi2_reg_param_fast,
+        }[regparam_mode]
         alphas = jnp.stack([
             search(AtWA, AtWb, btWb, N, reg_mats[i])
             for i in range(nreg)
@@ -90,7 +95,11 @@ def fit_one_record(values, errors, A, reg_mats, method: str,
         b = jnp.where(mask > 0, values, 0.0)
         Wm = jnp.where(mask > 0, W, 0.0)
         alphas = jnp.stack([
-            regparam.gcv_reg_param(AtWA, AtWb, reg_mats[i], A, b, Wm, mask)
+            regparam.gcv_reg_param(
+                AtWA, AtWb, reg_mats[i], A, b, Wm, mask,
+                regparam_mode=("fast" if regparam_mode == "fast"
+                               else "exact"),
+            )
             for i in range(nreg)
         ])
         C, dC, chi2 = final_solve(AtWA, AtWb, btWb, reg_mats, alphas)

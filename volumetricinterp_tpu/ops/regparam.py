@@ -5,10 +5,25 @@ same decision semantics but TPU-native algorithms:
 
 * chi2  — the reference's scale-factor ladder (0.6..1.0), downward bracket
   scan over alpha = 0,-1,...,-100 and Brent root find
-  (interpolate.py:152-218) become a STATIC alpha-grid evaluation plus a
-  fixed-count bisection.  Each chi^2(alpha) evaluation costs O(nbasis)
-  thanks to the one-time pencil whitening in ops/solve.py — the reference
-  pays a full scipy lstsq per evaluation (interpolate.py:255).
+  (interpolate.py:152-218).  Three implementations:
+    - 'exact' (default, chi2_reg_param): DEFECT-CORRECTED search — ladder
+      decisions from exact-cutoff chi^2 at the bracket-grid endpoints
+      (alpha = 1 and 1e-100), then a defect-corrected root iteration: one
+      exact cutoff-eigh per step measures D = chi2_exact - chi2_fast and an
+      O(nbasis) whitened bisection re-solves chi2_fast + D = nu, guarded by
+      a monotone exact bracket.  9 eigendecompositions per record instead
+      of ~145, which matters because batched eigh is the measured TPU
+      throughput ceiling (docs/ROADMAP.md).  For monotone objectives (PSD
+      regularizers) the selected root is identical to the grid scan's; see
+      docs/PARITY_NOTES.md #4/#9 for the non-monotone (divergent-Omega)
+      caveat.
+    - 'exact_grid' (chi2_reg_param_grid): round-1 faithful replica of the
+      full 101-point downward grid scan, every evaluation a full
+      cutoff-eigh.  The receipts baseline for 'exact'.
+    - 'fast' (chi2_reg_param_fast): every chi^2(alpha) evaluation costs
+      O(nbasis) after a one-time pencil whitening (jitter instead of the
+      gelsd cutoff) — the reference pays a full scipy lstsq per evaluation
+      (interpolate.py:255).
 * gcv   — the reference's brute-force leave-one-out refit loop
   (interpolate.py:299-351, O(npoints) refits per objective call) is replaced
   by the EXACT rank-one-downdate identity
@@ -37,31 +52,208 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .solve import cutoff_chi2, sym_pinv_apply
+from .solve import (chi2_from_eig, cutoff_chi2, normalized_eigh,
+                    sym_pinv_apply, whiten_pencil, whitened_chi2)
 
 # reference constants (interpolate.py:173, 199-202)
 SCALE_FACTORS = (0.6, 0.7, 0.8, 0.9, 1.0)
 ALPHA_MIN = -100.0
-# Concurrency of the exact (cutoff-eigh) search: records_in_flight * CHUNK
-# eigh instances coexist in HBM (the decomposition itself runs in f32 with
-# f64 Rayleigh refinement, solve._eigh_safe); keep record_chunk * GRID_CHUNK
-# <~ 4000 at nbasis=144 (v5e 16 GB).
-# The exact search is eigh-THROUGHPUT bound, not round-latency bound
-# (measured: XLA batched f32 eigh saturates ~1480/s on v5e regardless of
-# batch size), so minimize TOTAL evaluations: 104 grid + 40 bisection steps
-# = 144 per record.  KSECTION=1 is plain bisection; more interior points
-# per round only pay off when latency dominates.
+# exact_grid mode: records_in_flight * GRID_CHUNK eigh instances coexist in
+# HBM (the decomposition itself runs in f32 with f64 Rayleigh refinement,
+# solve._eigh_safe); keep record_chunk * GRID_CHUNK <~ 4000 at nbasis=144
+# (v5e 16 GB).  KSECTION=1 is plain bisection.
 GRID_CHUNK = 8  # alphas evaluated per sequential round (batched eigh)
 KSECTION = 1  # interior points per root-refinement round (bisection)
 N_KSECTION = 40  # rounds: bracket width 1 -> 2^-40 ~ 9e-13 in log10
 
+# hybrid 'exact' mode (chi2_reg_param): defect-corrected root iteration
+N_DEFECT = 9  # exact-eigh defect iterations; each contracts the root error
+# by the local variability of D(alpha) = chi2_exact - chi2_fast relative to
+# chi2's slope (1e-1..1e-2 per step on typical records; up to ~0.5 inside
+# the cutoff transition region of straddling records, where the extra
+# iterations matter), with a monotone-bracket fallback bounding
+# pathological records
+INNER_K = 64  # interior points per inner k-section round
+N_INNER_ROUNDS = 5  # bracket width 100 -> 100/65^5 ~ 9e-8 decades
+
+
+DEFECT_MODEL_RANGE = 0.5  # decades: linear D-model trust region around r0
+
+
+def _whitened_root_offset(lam, u, btWb, nu, d, r0=None, slope=None):
+    """First-crossing root of the FAST (jittered-whitening) objective plus
+    a local linear model of the cutoff defect,
+
+        chi2_fast(alpha) + d + slope * clip(alpha - r0, +-RANGE) = nu,
+
+    on [1e-100, 1], by 64-point k-section (5 rounds: sequential depth is
+    what costs wall-clock on TPU, and each O(nbasis)-per-point round is one
+    fused elementwise kernel — the whole solve costs far less than one
+    eigendecomposition).  With slope=None the defect model is the constant
+    d.
+
+    Returns log10(alpha), or NaN when the modeled objective has no crossing
+    (endpoint signs equal; the fast objective is monotone for PSD R)."""
+    dt = btWb.dtype
+
+    def f_of(a_log):
+        f = whitened_chi2(10.0 ** a_log, lam, u, btWb) + d - nu
+        if slope is not None:
+            f = f + slope * jnp.clip(a_log - r0, -DEFECT_MODEL_RANGE,
+                                     DEFECT_MODEL_RANGE)
+        return f
+
+    lo = jnp.asarray(ALPHA_MIN, dt)
+    hi = jnp.asarray(0.0, dt)
+    has = (f_of(hi) >= 0.0) & (f_of(lo) < 0.0)
+
+    frac = jnp.arange(1.0, INNER_K + 1.0, dtype=dt) / (INNER_K + 1.0)
+
+    def body(_, carry):
+        lo, hi = carry
+        pts = lo + (hi - lo) * frac  # ascending interior points
+        below = jax.vmap(f_of)(pts) < 0.0
+        # first crossing (reference first-sign-change semantics; for the
+        # monotone fast objective `below` is a prefix anyway)
+        j = jnp.argmax(~below)  # first non-below index; 0 when below[0]=F
+        all_below = jnp.all(below)
+        j = jnp.where(all_below, INNER_K, j)
+        new_lo = jnp.where(j > 0, pts[jnp.maximum(j - 1, 0)], lo)
+        new_hi = jnp.where(all_below, hi, pts[jnp.minimum(j, INNER_K - 1)])
+        return new_lo, new_hi
+
+    lo, hi = lax.fori_loop(0, N_INNER_ROUNDS, body, (lo, hi))
+    return jnp.where(has, 0.5 * (lo + hi), jnp.nan)
+
 
 def chi2_reg_param(AtWA, AtWb, btWb, N, R):
-    """chi2-nu regularization parameter for one record, one reg matrix.
+    """chi2-nu regularization parameter, DEFECT-CORRECTED exact search (the
+    default 'exact' mode).
+
+    Reference semantics preserved (interpolate.py:152-218): every chi^2
+    evaluation that DECIDES something uses the exact gelsd-cutoff solve
+    (solve.chi2_from_eig); the scale-factor ladder, the too-smooth alpha=0
+    early exit, and the no-bracket NaN all follow the reference's rules,
+    with ladder decisions taken from the exact objective at the grid
+    endpoints alpha = 1 and alpha = 1e-100 (for a monotone objective these
+    are equivalent to the reference's downward scan; the divergent-Omega
+    non-monotone caveat is documented in docs/PARITY_NOTES.md #9).
+
+    TPU scheduling: batched eigh is the measured throughput ceiling (~2100
+    decompositions/s at nbasis=144 on v5e) and f64 arithmetic is emulated at
+    ~46 GFLOP/s (docs/ROADMAP.md), so the search minimizes DECOMPOSITION
+    COUNT via defect correction: with the one-time pencil whitening making
+    chi2_fast(alpha) an O(nbasis) closed form, write
+
+        chi2_exact(alpha) = chi2_fast(alpha) + D(alpha)
+
+    where D (the gelsd-cutoff-vs-jitter discrepancy) varies slowly in alpha
+    compared to chi2 except across keep-set flips.  Each iteration measures
+    D at the current iterate with ONE exact eigendecomposition, then
+    re-solves chi2_fast(alpha) + D = nu to machine precision with a 60-round
+    O(nbasis) bisection.  The iteration contracts like |D'|/|chi2'| (one to
+    two orders per step on real records); a monotone exact bracket guards
+    every step, falling back to exact-midpoint bisection whenever the
+    prediction leaves the bracket (non-monotone divergent-Omega records,
+    PARITY_NOTES #9).
+
+    Eigendecomposition budget per record per regularization matrix:
+      1  AtWA — shared by the fast whitening AND the alpha -> 0 endpoint
+         (X(1e-100) == AtWA to f64 rounding: the grid floor alpha = 1e-100
+         times any conceivable |R|/|AtWA| is below one ulp of AtWA)
+      1  the whitened pencil G
+      1  exact chi^2(alpha=1) — ladder / too-smooth decisions
+      6  defect iterations (N_DEFECT)
+    = 9 vs ~145 for the grid scan, at identical cutoff semantics.
+
+    Returns the regularization parameter itself (NOT log10): 0.0 for the
+    "too smooth" early exit (interpolate.py:189-191), NaN when no bracket
+    exists in (1e-100, 1] for any scale factor (interpolate.py:210-211).
+    """
+    dt = btWb.dtype
+
+    def full_eval(a_log):
+        X = AtWA + (10.0 ** a_log) * R
+        w, V, _ = normalized_eigh(X)
+        return chi2_from_eig(w, V, AtWA, AtWb, btWb)
+
+    # shared decompositions
+    wA, VA, _ = normalized_eigh(AtWA)
+    chi2_floor = chi2_from_eig(wA, VA, AtWA, AtWb, btWb)  # alpha -> 0 limit
+    lam, Q, Binv = whiten_pencil(AtWA, R, eig_AtWA=(wA, VA))
+    u = Q.T @ (Binv @ AtWb)
+    chi2_one = full_eval(jnp.asarray(0.0, dt))
+
+    # scale-factor ladder from the exact endpoints (interpolate.py:180-207)
+    sf = jnp.asarray(SCALE_FACTORS, dtype=dt)
+    nus = N * sf
+    too_smooth = chi2_one - nus < 0.0
+    has_bracket = (chi2_floor - nus < 0.0) & ~too_smooth
+    event = too_smooth | has_bracket
+    s = jnp.argmax(event)
+    any_event = jnp.any(event)
+    is_smooth = too_smooth[s]
+    nu = nus[s]
+
+    # defect-corrected iteration, seeded at the root of chi2_fast + D0 = nu
+    # with D0 the PLATEAU defect chi2_floor - chi2_fast(1e-100), already in
+    # hand for free.  On cutoff-straddling records (the fast floor can sit
+    # ABOVE nu while the exact floor sits below, PARITY_NOTES #7) the raw
+    # fast objective has no crossing at all, but the D0-shifted one always
+    # does for active records (it equals chi2_floor < nu at the floor and
+    # chi2(1) >= nu at alpha=1, both exact).  Then constant-D step first,
+    # secant steps on D (linear local model) after, all inside a monotone
+    # exact bracket with midpoint fallback.
+    d0 = chi2_floor - whitened_chi2(jnp.asarray(1e-100, dt), lam, u, btWb)
+    r = _whitened_root_offset(lam, u, btWb, nu, d0)
+    r = jnp.clip(jnp.where(jnp.isnan(r), -50.0, r), ALPHA_MIN + 0.1, -0.1)
+    lo = jnp.asarray(ALPHA_MIN, dt)   # f(lo) < 0 for active records
+    hi = jnp.asarray(0.0, dt)         # f(hi) >= 0 for active records
+    r_prev = jnp.asarray(jnp.nan, dt)
+    d_prev = jnp.asarray(jnp.nan, dt)
+
+    def body(_, carry):
+        lo, hi, r, r_prev, d_prev = carry
+        c_r = full_eval(r)
+        f_r = c_r - nu
+        below = f_r < 0.0
+        lo = jnp.where(below, r, lo)
+        hi = jnp.where(below, hi, r)
+        d = c_r - whitened_chi2(10.0 ** r, lam, u, btWb)
+        dr = r - r_prev
+        slope = jnp.where(
+            jnp.isfinite(d_prev) & (jnp.abs(dr) > 1e-13),
+            (d - d_prev) / jnp.where(jnp.abs(dr) > 1e-13, dr, 1.0),
+            0.0,
+        )
+        r_new = _whitened_root_offset(lam, u, btWb, nu, d, r0=r,
+                                      slope=slope)
+        # out-of-bracket predictions carry directional information: clip
+        # just inside the violated end instead of discarding them (the
+        # far bracket end is often unevaluated, making a midpoint jump
+        # wasteful); NaN (no modeled crossing) falls back to the midpoint
+        width = hi - lo
+        r_clip = jnp.clip(r_new, lo + 0.02 * width, hi - 0.02 * width)
+        r_next = jnp.where(jnp.isnan(r_new), 0.5 * (lo + hi), r_clip)
+        return lo, hi, r_next, r, d
+
+    _, _, root, _, _ = lax.fori_loop(
+        0, N_DEFECT, body, (lo, hi, r, r_prev, d_prev))
+
+    reg = 10.0 ** root
+    reg = jnp.where(is_smooth, 0.0, reg)
+    reg = jnp.where(any_event, reg, jnp.nan)
+    return reg
+
+
+def chi2_reg_param_grid(AtWA, AtWb, btWb, N, R):
+    """chi2-nu regularization parameter via the FULL exact grid scan
+    ('exact_grid' mode — the receipts baseline for the hybrid default).
 
     Inputs are the record's sufficient statistics plus the reg matrix R.
     Every chi^2(alpha) evaluation uses the reference's exact lstsq-cutoff
-    solve semantics (solve.cutoff_chi2).
+    solve semantics (solve.cutoff_chi2), including all 101 bracket-grid
+    points, exactly like the reference's downward scan.
 
     TPU scheduling: sequential depth is what costs wall-clock (each round is
     one batched-eigh kernel when this function is vmapped over records), so
@@ -150,7 +342,6 @@ def chi2_reg_param_fast(AtWA, AtWb, btWb, N, R):
     records, up to a few percent on cutoff-straddling ones.  ~100x less
     work on TPU than the exact mode; select with [TPU] REGPARAM_MODE=fast.
     """
-    from .solve import whiten_pencil, whitened_chi2
 
     dt = btWb.dtype
     lam, Q, Binv = whiten_pencil(AtWA, R)
@@ -212,9 +403,10 @@ GCV_ALPHA0 = -20.0  # interpolate.py:288
 NM_XATOL = 1e-4
 NM_FATOL = 1e-4
 NM_MAXITER = 200  # scipy default N * 200 for N = 1
+NM_MAXFEV = 200  # scipy default N * 200 function evaluations for N = 1
 
 
-def gcv_objective(a_log, AtWA, AtWb, R, A, b, W, mask):
+def gcv_objective(a_log, AtWA, AtWb, R, A, b, W, mask, axis_name=None):
     """Sum of weighted squared LOO residuals at reg param 10^a_log.
 
     Uses the exact rank-one-downdate identity
@@ -223,6 +415,11 @@ def gcv_objective(a_log, AtWA, AtWb, R, A, b, W, mask):
     which matches the reference's per-point refit loop
     (interpolate.py:332-351) in value, with the same cutoff-solve
     semantics as chi2 (solve.sym_pinv_apply).
+
+    Point-sharded evaluation (SURVEY.md 5.7): AtWA/AtWb are the psum'd FULL
+    statistics (replicated), A/b/W/mask the local point shard; pass the
+    mesh axis as ``axis_name`` and the local partial sum is psum-reduced —
+    the only communication is one scalar per objective call.
     """
     a = 10.0**a_log
     X = AtWA + a * R
@@ -234,12 +431,47 @@ def gcv_objective(a_log, AtWA, AtWb, R, A, b, W, mask):
     h = W * jnp.einsum("pi,ij,pj->p", A, H, A)
     r = (yhat - b) / (1.0 - h)
     r = jnp.where(mask > 0, r, 0.0)
-    return jnp.sum(r * r * jnp.where(mask > 0, W, 0.0))
+    out = jnp.sum(r * r * jnp.where(mask > 0, W, 0.0))
+    if axis_name is not None:
+        out = lax.psum(out, axis_name)
+    return out
 
 
-def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER):
+def gcv_objective_fast(a_log, lam, u, T, T2, b, W, mask, axis_name=None):
+    """Whitened O(npoints * nbasis)-per-alpha GCV objective ('fast' mode).
+
+    With the one-time pencil whitening (solve.whiten_pencil) and the
+    precomputed projections T = A Binv' Q (rows = data points in the
+    whitened eigenbasis), every objective evaluation is elementwise:
+
+        d      = 1 / (1 + alpha * lam)
+        yhat_i = sum_j T_ij d_j u_j
+        h_ii   = W_i sum_j T_ij^2 d_j
+
+    Same jitter-vs-cutoff deviation envelope as the fast chi2 search
+    (docs/PARITY_NOTES.md #7).  Point-shardable like gcv_objective.
+    """
+    d = 1.0 / (1.0 + (10.0 ** a_log) * lam)
+    yhat = T @ (d * u)
+    h = W * (T2 @ d)
+    r = (yhat - b) / (1.0 - h)
+    r = jnp.where(mask > 0, r, 0.0)
+    out = jnp.sum(r * r * jnp.where(mask > 0, W, 0.0))
+    if axis_name is not None:
+        out = lax.psum(out, axis_name)
+    return out
+
+
+def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER,
+                   maxfev=NM_MAXFEV):
     """scipy.optimize.minimize(method='Nelder-Mead') for 1-D problems,
-    replicated as a lax.while_loop.  Returns (x_best, converged)."""
+    replicated as a lax.while_loop.  Returns (x_best, converged).
+
+    The function-evaluation budget mirrors scipy's maxfev accounting for
+    the trajectory scipy would take: 2 initial evals, then 2 per iteration
+    (reflection + expansion-or-contraction) plus 1 more when the iteration
+    shrinks — even though this vectorized replica computes all candidate
+    points every iteration."""
     nonzdelt = 0.05
     zdelt = 0.00025
     x1 = jnp.where(x0 != 0.0, (1.0 + nonzdelt) * x0, zdelt)
@@ -250,12 +482,12 @@ def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER):
     fs = jnp.where(f0 <= f1, jnp.stack([f0, f1]), jnp.stack([f1, f0]))
 
     def cond(state):
-        xs, fs, it = state
+        xs, fs, it, fev = state
         done = (jnp.abs(xs[1] - xs[0]) <= xatol) & (jnp.abs(fs[1] - fs[0]) <= fatol)
-        return (~done) & (it < maxiter)
+        return (~done) & (it < maxiter) & (fev < maxfev)
 
     def body(state):
-        xs, fs, it = state
+        xs, fs, it, fev = state
         x0, x1 = xs[0], xs[1]
         f0, f1 = fs[0], fs[1]
         xbar = x0
@@ -293,19 +525,36 @@ def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER):
 
         xs = jnp.where(new_f < f0, jnp.stack([new_x, x0]), jnp.stack([x0, new_x]))
         fs = jnp.where(new_f < f0, jnp.stack([new_f, f0]), jnp.stack([f0, new_f]))
-        return xs, fs, it + 1
+        # scipy-equivalent eval count: reflection + (expansion | contraction),
+        # plus the shrink point when the contraction was rejected
+        fev = fev + jnp.where(expand | accept_c, 2, 3)
+        return xs, fs, it + 1, fev
 
-    xs, fs, it = lax.while_loop(cond, body, (xs, fs, jnp.asarray(0)))
+    xs, fs, it, fev = lax.while_loop(
+        cond, body, (xs, fs, jnp.asarray(0), jnp.asarray(2)))
     converged = (jnp.abs(xs[1] - xs[0]) <= xatol) & (jnp.abs(fs[1] - fs[0]) <= fatol)
     return xs[0], converged
 
 
-def gcv_reg_param(AtWA, AtWb, R, A, b, W, mask):
+def gcv_reg_param(AtWA, AtWb, R, A, b, W, mask, axis_name=None,
+                  regparam_mode: str = "exact"):
     """GCV regularization parameter for one record, one reg matrix.
 
+    regparam_mode 'exact' uses the cutoff-solve LOO objective per objective
+    call; 'fast' whitens the pencil once and makes each call elementwise
+    (gcv_objective_fast).  With ``axis_name`` the per-point quantities may
+    be point shards (parallel/fit.py).
+
     NaN when the minimizer fails to converge (interpolate.py:292-293)."""
-    obj = partial(gcv_objective, AtWA=AtWA, AtWb=AtWb, R=R, A=A, b=b, W=W,
-                  mask=mask)
+    if regparam_mode == "fast":
+        lam, Qw, Binv = whiten_pencil(AtWA, R)
+        u = Qw.T @ (Binv @ AtWb)
+        T = A @ (Binv.T @ Qw)
+        obj = partial(gcv_objective_fast, lam=lam, u=u, T=T, T2=T * T,
+                      b=b, W=W, mask=mask, axis_name=axis_name)
+    else:
+        obj = partial(gcv_objective, AtWA=AtWA, AtWb=AtWb, R=R, A=A, b=b,
+                      W=W, mask=mask, axis_name=axis_name)
     x, ok = nelder_mead_1d(lambda a: obj(a), GCV_ALPHA0)
     reg = 10.0**x
     return jnp.where(ok, reg, jnp.nan)

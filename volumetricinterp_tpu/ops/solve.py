@@ -49,22 +49,55 @@ def suff_stats(A, b, W, mask):
     return AtWA, AtWb, btWb, N
 
 
-def _eigh_safe(Xn):
+N_REFINE_SMALL = 64  # eigenvalues refined in f64 under refine='mixed'
+
+
+def _eigh_safe(Xn, refine="full"):
     """Symmetric eigendecomposition of a trace-normalized matrix, robust on
     the TPU backend.
 
     TPU f64 eigh is unreliable: it loses ~8 digits at absolute scales around
     1e-20, and the BATCHED n>~100 f64 path returns NaN outright (observed on
     v5e).  On TPU we therefore run the (working) float32 eigh and refine the
-    eigenvalues in float64 with Rayleigh quotients w_i = v_i' X v_i — f32
-    eigenvectors give ~1e-7-accurate subspaces and hence ~1e-14-accurate
-    refined eigenvalues for separated modes, which matches the documented
-    TPU parity floor.  Other backends use the native f64 path.
+    eigenvalues in float64 with Rayleigh quotients w_i = (v_i' X v_i)/
+    (v_i'v_i) — f32 eigenvectors give ~1e-7-accurate subspaces and hence
+    ~1e-14-accurate refined eigenvalues for separated modes, which matches
+    the documented TPU parity floor.  Other backends use the native f64
+    path.
+
+    refine='mixed' (the regularization-search path): f64 matmuls are
+    EMULATED on TPU at ~46 GFLOP/s (measured, docs/ROADMAP.md), making the
+    full-spectrum f64 Rayleigh (~105 us/record at n=144) comparable to the
+    eigh itself.  Only the near-cutoff end of the spectrum needs f64
+    resolution (the gelsd keep-decision at eps64 * max|w| sits far below
+    f32's ~1e-7 floor; large eigenvalues enter chi^2 as 1/w where
+    f32-relative accuracy shifts the root by ~1e-7 decades, two orders
+    below the cutoff-retention noise floor of PARITY_NOTES #7).  So:
+    the f32 eigh's own eigenvalues for the bulk + f64 Rayleigh for the
+    N_REFINE_SMALL smallest-|w| vectors.
     """
     if jax.default_backend() == "tpu" and Xn.dtype == jnp.float64:
         w32, V32 = jnp.linalg.eigh(Xn.astype(jnp.float32))
         V = V32.astype(jnp.float64)
-        w = jnp.einsum("...ij,...ik,...kj->...j", V, Xn, V)
+        tiny = jnp.finfo(Xn.dtype).tiny
+        if refine == "mixed":
+            n = Xn.shape[-1]
+            k = min(N_REFINE_SMALL, n)
+            _, idx = jax.lax.top_k(-jnp.abs(w32), k)
+            Vs = jnp.take_along_axis(V, idx[..., None, :], axis=-1)
+            num = jnp.einsum("...ij,...ij->...j", Vs, Xn @ Vs)
+            den = jnp.maximum(jnp.einsum("...ij,...ij->...j", Vs, Vs), tiny)
+            w = jnp.put_along_axis(
+                w32.astype(jnp.float64), idx, num / den, axis=-1,
+                inplace=False,
+            )
+            return w, V
+        num = jnp.einsum("...ij,...ik,...kj->...j", V, Xn, V)
+        # normalize by v'v so the refined eigenvalue error is second-order
+        # in the f32 subspace error (f32 vector norms deviate from 1 by
+        # ~1e-7, which would otherwise leak in at first order)
+        den = jnp.einsum("...ij,...ij->...j", V, V)
+        w = num / jnp.maximum(den, tiny)
         return w, V
     return jnp.linalg.eigh(Xn)
 
@@ -107,6 +140,21 @@ def sym_pinv_apply(X, y, rcond_factor=None, want_H=True, rcond_factor_H=None):
     return C, H
 
 
+def chi2_from_eig(w, V, AtWA, AtWb, btWb):
+    """Reference-cutoff chi^2 from a precomputed eigendecomposition (w, V)
+    of X = AtWA + a R.  Same gelsd cutoff rule as sym_pinv_apply
+    (eps * max |w|); chi^2 from sufficient statistics:
+        chi2 = C'AtWA C - 2 C'AtWb + btWb  ==  sum_i W_i (A C - b)_i^2.
+    """
+    eps = float(jnp.finfo(AtWA.dtype).eps)
+    V = V.astype(AtWA.dtype)
+    aw = jnp.abs(w)
+    keep = aw > eps * jnp.max(aw)
+    u = V.T @ AtWb
+    C = V @ jnp.where(keep, u / w, 0.0)
+    return C @ (AtWA @ C) - 2.0 * (C @ AtWb) + btWb
+
+
 def cutoff_chi2(a, AtWA, AtWb, btWb, R):
     """chi^2 of the fit with X = AtWA + a R under REFERENCE solve semantics.
 
@@ -120,6 +168,19 @@ def cutoff_chi2(a, AtWA, AtWb, btWb, R):
     X = AtWA + a * R
     C, _ = sym_pinv_apply(X, AtWb, want_H=False)
     return C @ (AtWA @ C) - 2.0 * (C @ AtWb) + btWb
+
+
+def normalized_eigh(X, refine="mixed"):
+    """Trace-normalized _eigh_safe: returns (w, V) of X itself (w rescaled
+    back), plus the normalization scale.  The shared entry point for every
+    cutoff-semantics decomposition in the chi2 SEARCH, hence the 'mixed'
+    Rayleigh refinement default (see _eigh_safe; the final solve keeps the
+    full-precision path through sym_pinv_apply)."""
+    n = X.shape[-1]
+    s = jnp.trace(X) / n
+    s = jnp.where(jnp.abs(s) > 0, jnp.abs(s), 1.0)
+    w, V = _eigh_safe(X / s, refine=refine)
+    return w * s, V, s
 
 
 def final_solve(AtWA, AtWb, btWb, reg_mats, reg_params):
@@ -143,7 +204,7 @@ def final_solve(AtWA, AtWb, btWb, reg_mats, reg_params):
     return C, dC, chi2
 
 
-def whiten_pencil(AtWA, R, jitter_rel=1e-12):
+def whiten_pencil(AtWA, R, jitter_rel=1e-12, eig_AtWA=None):
     """One-time whitening of the pencil (AtWA, R) for O(n) alpha scans.
 
     Eigendecomposition-based (no Cholesky — batched f64 cholesky shares the
@@ -158,13 +219,19 @@ def whiten_pencil(AtWA, R, jitter_rel=1e-12):
     regularizes singular records (ridge limit == the reference's lstsq
     min-norm behaviour, since AtWb is orthogonal to null(AtWA)).
 
-    Returns (lam [n], Q [n, n], Binv [n, n]).
+    Returns (lam [n], Q [n, n], Binv [n, n]).  ``eig_AtWA`` optionally
+    supplies a precomputed (w, V) of AtWA itself (e.g. from
+    normalized_eigh) so the hybrid exact search shares one decomposition.
     """
     n = AtWA.shape[-1]
-    scale = jnp.trace(AtWA) / n
-    scale = jnp.where(scale > 0, scale, 1.0)
-    w, V = _eigh_safe(AtWA / scale)
-    w = w * scale
+    if eig_AtWA is None:
+        scale = jnp.trace(AtWA) / n
+        scale = jnp.where(scale > 0, scale, 1.0)
+        w, V = _eigh_safe(AtWA / scale, refine="mixed")
+        w = w * scale
+    else:
+        w, V = eig_AtWA
+        V = V.astype(AtWA.dtype)
     wmax = jnp.max(jnp.abs(w))
     w_safe = jnp.maximum(w, jitter_rel * jnp.where(wmax > 0, wmax, 1.0))
     Binv = (w_safe[:, None] ** -0.5) * V.T  # [n, n]
@@ -175,7 +242,7 @@ def whiten_pencil(AtWA, R, jitter_rel=1e-12):
     G = 0.5 * (G + G.T)
     # G is O(1)-normalized by construction; refine on its own trace scale
     sG = jnp.trace(jnp.abs(G * jnp.eye(n, dtype=G.dtype))) / n + 1e-300
-    lam, Q = _eigh_safe(G / sG)
+    lam, Q = _eigh_safe(G / sG, refine="mixed")
     lam = lam * (sG * sR)
     return lam, Q, Binv
 

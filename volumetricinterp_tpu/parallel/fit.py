@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.fit import fit_from_stats, fit_one_record, record_stats
+from ..ops.fit import fit_from_stats, record_stats
 
 
 def _pad_to(x, n, axis, fill):
@@ -67,17 +67,73 @@ def fit_records_sharded(values, errors, A, reg_mats, mesh: Mesh,
     Ap = _pad_to(jnp.asarray(A), npts_p, 0, 0.0)
 
     if method == "gcv":
-        # LOO identity needs all points of a record on one device
-        f = partial(fit_one_record, A=Ap, reg_mats=reg_mats, method=method,
-                    manual_params=manual_params)
-        fitted = jax.jit(
-            jax.vmap(f),
-            in_shardings=(
-                NamedSharding(mesh, P(("records", "points"))),
-            ) * 2,
-        )(v, e)
-        C, dC, chi2, alphas = fitted
+        C, dC, chi2, alphas = _gcv_stage(
+            v, e, Ap, reg_mats, mesh, regparam_mode)
         return C[:nrec], dC[:nrec], chi2[:nrec], alphas[:nrec]
+
+    C, dC, chi2, alphas = _stats_then_solve(
+        v, e, Ap, reg_mats, mesh, method, manual_params, regparam_mode)
+    return C[:nrec], dC[:nrec], chi2[:nrec], alphas[:nrec]
+
+
+def _gcv_stage(v, e, Ap, reg_mats, mesh: Mesh, regparam_mode):
+    """Point-sharded GCV fit (SURVEY.md 5.7): each device holds a point
+    shard, the psum'd full statistics drive the solve, and every
+    leave-one-out objective evaluation reduces ONE scalar over the points
+    axis (ops/regparam.gcv_objective's axis_name path) — so GCV now runs on
+    every mesh shape, not just records-only."""
+    from ..ops import regparam
+    from ..ops.solve import final_solve, suff_stats
+
+    nreg = reg_mats.shape[0]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("records", "points"), P("records", "points"),
+                  P("points", None), P()),
+        out_specs=(P("records"), P("records"), P("records"), P("records")),
+        check_vma=False,
+    )
+    def stage(v_blk, e_blk, A_blk, regs):
+        def one(vv, ee):
+            mask = jnp.isfinite(vv).astype(A_blk.dtype)
+            W = jnp.where(mask > 0, ee, 1.0) ** (-2)
+            b = jnp.where(mask > 0, vv, 0.0)
+            Wm = jnp.where(mask > 0, W, 0.0)
+            AtWA, AtWb, btWb, N = suff_stats(A_blk, b, W, mask)
+            AtWA = jax.lax.psum(AtWA, "points")
+            AtWb = jax.lax.psum(AtWb, "points")
+            btWb = jax.lax.psum(btWb, "points")
+            alphas = jnp.stack([
+                regparam.gcv_reg_param(
+                    AtWA, AtWb, regs[i], A_blk, b, Wm, mask,
+                    axis_name="points",
+                    regparam_mode=("fast" if regparam_mode == "fast"
+                                   else "exact"),
+                )
+                for i in range(nreg)
+            ])
+            C, dC, chi2 = final_solve(AtWA, AtWb, btWb, regs, alphas)
+            bad = jnp.any(jnp.isnan(alphas))
+            nb = A_blk.shape[1]
+            C = jnp.where(bad, jnp.full((nb,), jnp.nan, C.dtype), C)
+            dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dC.dtype), dC)
+            chi2 = jnp.where(bad, jnp.nan, chi2)
+            return C, dC, chi2, alphas
+
+        return jax.vmap(one)(v_blk, e_blk)
+
+    return stage(v, e, Ap, reg_mats)
+
+
+def _stats_then_solve(v, e, Ap, reg_mats, mesh: Mesh, method, manual_params,
+                      regparam_mode):
+    """The two sharded stages on already-padded (global or local) arrays:
+    point-sharded psum-reduced statistics, then the per-record solve with
+    records sharded over the whole mesh.  Shared by the single-process
+    (fit_records_sharded) and multi-process (parallel/distributed.py)
+    paths."""
 
     # stage 1: point-sharded, psum-reduced sufficient statistics
     @partial(
@@ -111,8 +167,7 @@ def fit_records_sharded(values, errors, A, reg_mats, mesh: Mesh,
         ),
         out_shardings=sh2,
     )
-    C, dC, chi2, alphas = solve(AtWA, AtWb, btWb, N)
-    return C[:nrec], dC[:nrec], chi2[:nrec], alphas[:nrec]
+    return solve(AtWA, AtWb, btWb, N)
 
 
 def grid_eval_sharded(evaluator, C, gdlat, gdlon, gdalt, mesh: Mesh):

@@ -47,26 +47,14 @@ class Validate:
         interp.saveh5()
         self.outputfilename = interp.outputfilename
 
-    def create_plots(self):
-        """Reconstruction maps with raw data overlaid
-        (reference validate.py:64-132)."""
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        import matplotlib.gridspec as gridspec
+    def _load_window(self):
+        """Evaluation grid + the raw measurements inside the validation
+        window.  Returns (est, grid (lat, lon, alt), times, raw arrays)."""
         import h5py
-
-        try:
-            import cartopy.crs as ccrs
-
-            have_cartopy = True
-        except ImportError:
-            have_cartopy = False
 
         est_param = Estimate(self.outputfilename)
 
-        hull_lat, hull_lon, hull_alt = (
+        hull_lat, hull_lon, _ = (
             np.asarray(q)
             for q in coords.ecef2geodetic(
                 est_param.hull_vert[:, 0],
@@ -74,7 +62,6 @@ class Validate:
                 est_param.hull_vert[:, 2],
             )
         )
-
         gdlat, gdlon, gdalt = np.meshgrid(
             np.linspace(np.nanmin(hull_lat), np.nanmax(hull_lat), 100),
             np.linspace(np.nanmin(hull_lon), np.nanmax(hull_lon), 100),
@@ -86,7 +73,7 @@ class Validate:
         if isinstance(raw_filename, bytes):
             raw_filename = raw_filename.decode("utf-8")
 
-        epoch = dt.datetime.utcfromtimestamp(0)
+        epoch = dt.datetime(1970, 1, 1)
         with h5py.File(raw_filename, "r") as f:
             raw_alt = f["/Geomag/Altitude"][:]
             raw_lat = f["/Geomag/Latitude"][:]
@@ -97,63 +84,113 @@ class Validate:
                 & (utime[:, 1] <= (self.endtime - epoch).total_seconds())
             ).flatten()
             raw_time = np.array(
-                [dt.datetime.utcfromtimestamp(t) for t in np.mean(utime, axis=1)[idx]]
+                [epoch + dt.timedelta(seconds=float(t))
+                 for t in np.mean(utime, axis=1)[idx]]
             )
             raw_dens = f["FittedParams/Ne"][idx, :, :]
+        return est_param, (gdlat, gdlon, gdalt), raw_time, (
+            raw_lat, raw_lon, raw_alt, raw_dens)
 
-        fig = plt.figure(figsize=(len(self.altitudes) * 2, len(raw_time) * 2))
-        gs = gridspec.GridSpec(len(raw_time), len(self.altitudes))
-        gs.update(left=0.05, right=0.9, bottom=0.01, top=0.95)
+    def create_plots(self):
+        """Render one map panel per (record, altitude): filled contours of
+        the reconstruction with the raw beam measurements scattered on top
+        in the same color scale (the reference workflow's product,
+        validate.py:64-132; panel content kept, layout our own).
 
+        cartopy gives Lambert-conformal map panels when importable; plain
+        lat/lon axes otherwise."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        try:
+            import cartopy.crs as ccrs
+
+            have_cartopy = True
+        except ImportError:
+            have_cartopy = False
+
+        est_param, (gdlat, gdlon, gdalt), raw_time, raw = self._load_window()
+        raw_lat, raw_lon, raw_alt, raw_dens = raw
+        # one longitude convention for grid and scatter: the hull-derived
+        # grid is +-180 (ecef2geodetic) while AMISR files store 0..360 —
+        # without cartopy's Geodetic transform the two would plot 360 deg
+        # apart on plain axes
+        raw_lon = np.where(raw_lon > 180.0, raw_lon - 360.0, raw_lon)
+        gdlon = np.where(gdlon > 180.0, gdlon - 360.0, gdlon)
+
+        nrow = len(raw_time)
+        ncol = len(self.altitudes)
+        vmin, vmax = self.colorlim
+        levels = np.linspace(vmin, vmax, 25)
+
+        subplot_kw = {}
         if have_cartopy:
-            map_proj = ccrs.LambertConformal(
-                central_latitude=np.nanmean(hull_lat),
-                central_longitude=np.nanmean(hull_lon),
+            subplot_kw["projection"] = ccrs.LambertConformal(
+                central_latitude=float(np.nanmean(gdlat)),
+                central_longitude=float(np.nanmean(gdlon)),
             )
+        fig, axes = plt.subplots(
+            nrow, ncol, squeeze=False, subplot_kw=subplot_kw,
+            figsize=(2.4 * ncol + 1.2, 2.4 * nrow + 1.0), dpi=110,
+            layout="constrained",
+        )
+        fig.suptitle(
+            f"{self.starttime:%Y-%m-%d %H:%M} – {self.endtime:%H:%M} UT",
+            fontsize="medium",
+        )
 
-        levels = np.linspace(self.colorlim[0], self.colorlim[1], 31)
-
+        mappable = None
+        beam_rows = np.arange(raw_alt.shape[0])
         for i, time in enumerate(raw_time):
             dens = est_param(time, gdlat, gdlon, gdalt)
-
             for j, alt in enumerate(self.altitudes):
-                aidx = np.nanargmin(np.abs(raw_alt - alt * 1000.0), axis=1)
-                rows = tuple(np.arange(raw_alt.shape[0]))
-                rlat = raw_lat[rows, tuple(aidx)]
-                rlon = raw_lon[rows, tuple(aidx)]
-                rdens = raw_dens[i][rows, tuple(aidx)]
+                ax = axes[i, j]
+                # nearest range gate to this altitude slice, per beam
+                gate = np.nanargmin(np.abs(raw_alt - alt * 1000.0), axis=1)
+                rlat = raw_lat[beam_rows, gate]
+                rlon = raw_lon[beam_rows, gate]
+                rval = raw_dens[i][beam_rows, gate]
 
                 if have_cartopy:
-                    ax = fig.add_subplot(gs[i, j], projection=map_proj)
-                    ax.coastlines()
-                    ax.gridlines()
-                    tf = dict(transform=ccrs.PlateCarree())
-                    sc_tf = dict(transform=ccrs.Geodetic())
+                    ax.coastlines(lw=0.5)
+                    ax.gridlines(lw=0.3, alpha=0.5)
+                    grid_kw = dict(transform=ccrs.PlateCarree())
                 else:
-                    ax = fig.add_subplot(gs[i, j])
-                    tf = {}
-                    sc_tf = {}
+                    grid_kw = {}
+                    ax.tick_params(labelsize="x-small")
 
-                c = ax.contourf(
-                    gdlon[:, :, j], gdlat[:, :, j], dens[:, :, j], levels,
-                    extend="both", **tf,
+                mappable = ax.contourf(
+                    gdlon[:, :, j], gdlat[:, :, j], dens[:, :, j],
+                    levels, cmap="viridis", extend="both", **grid_kw,
                 )
-                ax.scatter(rlon, rlat, c="white", s=20, **sc_tf)
+                # raw beam data in the same color scale, ringed so the dots
+                # stay visible against equal-valued background
                 ax.scatter(
-                    rlon, rlat, c=rdens, s=10,
-                    vmin=self.colorlim[0], vmax=self.colorlim[1], **sc_tf,
+                    rlon, rlat, c=rval, s=14, vmin=vmin, vmax=vmax,
+                    cmap="viridis", edgecolors="white", linewidths=0.6,
+                    **grid_kw,
                 )
-                ax.set_title("{} km".format(alt))
-
-            pos = ax.get_position()
-            plt.text(
-                0.03, (pos.y0 + pos.y1) / 2.0, time.time(), rotation="vertical",
-                verticalalignment="center", horizontalalignment="center",
-                transform=fig.transFigure,
+                if i == 0:
+                    ax.set_title(f"{alt:g} km", fontsize="small")
+            axes[i, 0].set_ylabel(
+                f"{time:%H:%M:%S}", fontsize="small", labelpad=18,
             )
-            cax = fig.add_axes([0.91, pos.y0, 0.03, pos.height])
-            cbar = plt.colorbar(c, cax=cax)
-            cbar.set_label(r"Ne (m$^{-3}$)")
+            if have_cartopy:
+                # cartopy GeoAxes drop ylabels; annotate the row instead
+                axes[i, 0].text(
+                    -0.12, 0.5, f"{time:%H:%M:%S}", rotation=90,
+                    va="center", ha="right", fontsize="small",
+                    transform=axes[i, 0].transAxes,
+                )
 
-        plt.savefig(self.outputpng)
+        if mappable is not None:
+            cbar = fig.colorbar(
+                mappable, ax=axes[-1, :], location="bottom",
+                shrink=0.55, aspect=35, pad=0.04,
+            )
+            cbar.set_label(r"N$_e$ (m$^{-3}$)", fontsize="small")
+
+        fig.savefig(self.outputpng)
         plt.close(fig)
