@@ -44,57 +44,18 @@ def _make_pymap3d():
     return m
 
 
-class _H5Node:
-    def __init__(self, dset):
-        self._d = dset
-
-    def __getitem__(self, idx):
-        return self._d[idx]
-
-    def read(self):
-        return self._d[()]
-
-
-class _H5File:
-    """Minimal pytables.File lookalike over h5py (the subset the reference
-    uses: get_node, create_group, create_array)."""
-
-    def __init__(self, filename, mode):
-        import h5py
-
-        self._f = h5py.File(filename, mode)
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self._f.close()
-
-    def get_node(self, path):
-        return _H5Node(self._f[path])
-
-    def create_group(self, where, name, title=""):
-        path = (where.rstrip("/") + "/" + name) if isinstance(where, str) \
-            else (where + "/" + name)
-        self._f.create_group(path)
-        return path
-
-    def create_array(self, where, name, obj=None, title=""):
-        base = where if isinstance(where, str) else str(where)
-        path = base.rstrip("/") + "/" + name
-        if isinstance(obj, list) and obj and isinstance(obj[0], str):
-            obj = np.array([s.encode("utf-8") for s in obj])
-        elif isinstance(obj, bytes):
-            obj = np.bytes_(obj)
-        elif isinstance(obj, str):
-            obj = np.bytes_(obj.encode("utf-8"))
-        self._f.create_dataset(path, data=obj)
-        return path
-
-
 def _make_tables():
-    m = types.ModuleType("tables")
-    m.open_file = lambda filename, mode="r": _H5File(filename, mode)
+    """The `tables` shim is the faithful pytables writer replica
+    (tests/pytables_replica.py), so reference-written files carry the real
+    pytables system attributes (CLASS/VERSION/TITLE/FLAVOR/
+    PYTABLES_FORMAT_VERSION) instead of bare h5py datasets."""
+    import types as _types
+
+    from tests import pytables_replica
+
+    m = _types.ModuleType("tables")
+    m.open_file = pytables_replica.open_file
+    m.File = pytables_replica.File
     return m
 
 

@@ -306,3 +306,29 @@ def test_production_config_matches_reference(tmp_path_factory, reg):
             sfs = np.array([0.6, 0.7, 0.8, 0.9, 1.0])
             for c2 in (our_i.chi_sq[r], ref_i.chi_sq[r]):
                 assert np.min(np.abs(c2 / N - sfs)) < 5e-2, (r, c2 / N)
+
+
+def test_reference_file_has_pytables_conventions(setup):
+    """The reference writes through pytables; our shim now replicates the
+    pytables file format (tests/pytables_replica.py), so the interop tests
+    exercise a genuinely pytables-shaped file: system attributes on every
+    node, python-flavored scalars — and our Estimate reads it."""
+    import h5py
+
+    with h5py.File(setup["out_ref"], "r") as f:
+        root = f["/"].attrs
+        assert root["PYTABLES_FORMAT_VERSION"] == b"2.1"
+        assert root["CLASS"] == b"GROUP"
+        g = f["/Coeffs"].attrs
+        assert g["CLASS"] == b"GROUP" and g["VERSION"] == b"1.0"
+        d = f["/Coeffs/C"].attrs
+        assert d["CLASS"] == b"ARRAY" and d["VERSION"] == b"2.4"
+        assert d["FLAVOR"] == b"numpy"
+        s = f["/ConfigFile/Contents"].attrs
+        assert s["FLAVOR"] == b"python"  # python str -> bytes scalar
+
+    est = Estimate(setup["out_ref"])
+    t_mid = dt.datetime(2016, 11, 27, 22, 46)
+    val = est(t_mid, np.array([76.5]), np.array([265.0]),
+              np.array([300e3]), check_hull=False)
+    assert np.isfinite(np.asarray(val)).all()

@@ -89,3 +89,109 @@ def test_gcv_reg_param_matches_oracle(small_problem):
     assert np.isfinite(ref) and np.isfinite(ours)
     # NM terminates at xatol=1e-4 in log10-alpha
     assert abs(np.log10(ours) - np.log10(ref)) < 5e-4
+
+
+def test_gcv_fast_close_to_exact(small_problem):
+    """The whitened 'fast' GCV objective selects nearly the same parameter
+    as the exact cutoff objective on a well-posed problem (same
+    jitter-vs-cutoff envelope as the fast chi2 search)."""
+    A, b, W, R = small_problem
+    mask = np.ones_like(b)
+    AtWA, AtWb, btWb, N = suff_stats(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(W), jnp.asarray(mask)
+    )
+    from volumetricinterp_tpu.ops.regparam import gcv_reg_param
+
+    a_e = float(gcv_reg_param(AtWA, AtWb, jnp.asarray(R), jnp.asarray(A),
+                              jnp.asarray(b), jnp.asarray(W),
+                              jnp.asarray(mask)))
+    a_f = float(gcv_reg_param(AtWA, AtWb, jnp.asarray(R), jnp.asarray(A),
+                              jnp.asarray(b), jnp.asarray(W),
+                              jnp.asarray(mask), regparam_mode="fast"))
+    assert np.isfinite(a_e) and np.isfinite(a_f)
+    assert abs(np.log10(a_f) - np.log10(a_e)) < 1e-3
+
+
+def test_nelder_mead_maxfev_cap():
+    """scipy's maxfev=200 budget is enforced (PARITY_NOTES #6): a budget
+    too small to reach the minimizer reports non-convergence."""
+    f = lambda x: (x - 2.2) ** 2
+    x_full, ok_full = nelder_mead_1d(f, jnp.float64(-20.0))
+    assert bool(ok_full) and abs(float(x_full) - 2.2) < 1e-3
+    x_cap, ok_cap = nelder_mead_1d(f, jnp.float64(-20.0), maxfev=20)
+    assert not bool(ok_cap)
+
+
+def test_gcv_point_sharded_matches_single(small_problem):
+    """GCV on a mesh with a non-trivial points axis equals the
+    single-device result (psum'd LOO objective, SURVEY.md 5.7).
+
+    The selected alpha itself is only asserted loosely: the reference's NM
+    starts at log10(alpha) = -20 where this objective is FLAT, so the
+    stopping point is decided by rounding noise in any implementation
+    (scipy included) while the resulting fit is identical."""
+    import jax
+    from volumetricinterp_tpu.parallel import make_mesh, fit_records_sharded
+
+    A, b, W, R = small_problem
+    values = np.stack([b, b * 1.02])
+    errors = np.broadcast_to(W ** -0.5, values.shape).copy()
+
+    C0, dC0, c20, al0 = fit_records(
+        jnp.asarray(values), jnp.asarray(errors), jnp.asarray(A),
+        jnp.asarray(R)[None], method="gcv",
+    )
+    y0 = np.asarray(C0) @ A.T
+    for shape in [(2, 4), (4, 2), (1, 8)]:
+        mesh = make_mesh(shape[0], shape[1], devices=jax.devices()[:8])
+        C, dC, c2, al = fit_records_sharded(
+            values, errors, A, jnp.asarray(R)[None], mesh, method="gcv",
+        )
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(c20),
+                                   rtol=1e-6, err_msg=str(shape))
+        y = np.asarray(C) @ A.T
+        assert np.max(np.abs(y - y0)) < 1e-6 * np.max(np.abs(y0)), shape
+        assert np.allclose(np.log10(np.asarray(al)),
+                           np.log10(np.asarray(al0)), atol=1.5), shape
+
+
+def test_gcv_objective_point_sharded_equals_single(small_problem):
+    """The psum'd point-sharded LOO objective equals the single-device
+    objective to reduction-order rounding at every alpha."""
+    import jax
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from volumetricinterp_tpu.parallel import make_mesh
+    from volumetricinterp_tpu.ops.regparam import gcv_objective
+
+    A, b, W, R = small_problem
+    mask = np.ones_like(b)
+    AtWA, AtWb, btWb, N = suff_stats(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(W), jnp.asarray(mask)
+    )
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+
+    # pad points to the mesh
+    npts = b.size
+    npts_p = -(-npts // 4) * 4
+    pad = npts_p - npts
+    Ap = np.pad(A, ((0, pad), (0, 0)))
+    bp = np.pad(b, (0, pad))
+    Wp = np.pad(W, (0, pad))
+    mp = np.pad(mask, (0, pad))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P("points", None), P("points"), P("points"),
+                       P("points")),
+             out_specs=P(), check_vma=False)
+    def sharded_obj(A_blk, b_blk, W_blk, m_blk):
+        return gcv_objective(-2.0, AtWA, AtWb, jnp.asarray(R), A_blk,
+                             b_blk, W_blk, m_blk, axis_name="points")
+
+    v_sh = float(sharded_obj(jnp.asarray(Ap), jnp.asarray(bp),
+                             jnp.asarray(Wp), jnp.asarray(mp)))
+    v_1 = float(gcv_objective(-2.0, AtWA, AtWb, jnp.asarray(R),
+                              jnp.asarray(A), jnp.asarray(b),
+                              jnp.asarray(W), jnp.asarray(mask)))
+    assert np.isclose(v_sh, v_1, rtol=1e-12)
