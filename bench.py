@@ -124,6 +124,20 @@ QUAD_MODE = gauss
     fits_fast = fit_rate("fast")
     fits_per_s = fit_rate("exact")
 
+    # ---- sharded grid evaluation (the multi-chip product path, measured
+    # through the mesh machinery; on one chip this quantifies sharding
+    # overhead, on a pod it scales the headline) --------------------------
+    from volumetricinterp_tpu.parallel import grid_eval_sharded, make_mesh
+
+    mesh1 = make_mesh(1, len(jax.devices()))
+    out_sh = grid_eval_sharded(ev, C, glat, glon, galt, mesh1)
+    sync(jnp.asarray(out_sh).ravel()[:1])
+    t0 = time.perf_counter()
+    for _ in range(10):
+        out_sh = grid_eval_sharded(ev, C, glat, glon, galt, mesh1)
+    sync(jnp.asarray(out_sh).ravel()[:1])
+    pts_sharded = n * 10 / (time.perf_counter() - t0 - rtt)
+
     # ---- end-to-end full day: 1000 records through the WHOLE pipeline ----
     # (read + QC + hull + design matrix + chi2 search + solve + HDF5 write;
     # BASELINE north star: < 10 s for a ~1000-record day)
@@ -161,6 +175,7 @@ QUAD_MODE = gauss
             "grid_eval_s": round(dt_eval, 5),
             "record_fits_per_s_chi2_exact": round(fits_per_s, 2),
             "record_fits_per_s_chi2_fast": round(fits_fast, 2),
+            "grid_eval_sharded_pts_per_s": round(pts_sharded, 1),
             "full_day_1000rec_e2e_s": round(full_day_s, 2),
             "fit_batch": [nrec, npts],
             "eval_impl": ev.impl,
