@@ -104,19 +104,22 @@ QUAD_MODE = gauss
     values = ne[None] + rng.normal(0, 1, (nrec, npts)) * noise[None]
     errors = np.broadcast_to(1.15 * noise, (nrec, npts)).copy()
     psi = np.asarray(model.eval_psi())
-    reg_mats = jnp.asarray(psi)[None]
-    v_d, e_d, A_d = jnp.asarray(values), jnp.asarray(errors), jnp.asarray(A)
+    reg_mats = psi[None]
+
+    fit_ok = {}
 
     def fit_rate(mode, reps=3):
-        r0 = fit_records(v_d, e_d, A_d, reg_mats, method="chi2",
+        r0 = fit_records(values, errors, A, reg_mats, method="chi2",
                          regparam_mode=mode)
+        # silent-NaN guard: a broken numerical path must show in the JSON
+        fit_ok[mode] = float(np.isfinite(np.asarray(r0[2])).mean())
         sync(r0[2])
         t0 = time.perf_counter()
         sync(r0[2])
         rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(reps):
-            r1 = fit_records(v_d, e_d, A_d, reg_mats, method="chi2",
+            r1 = fit_records(values, errors, A, reg_mats, method="chi2",
                              regparam_mode=mode)
         sync(r1[2])
         return nrec * reps / (time.perf_counter() - t0 - rtt)
@@ -130,11 +133,14 @@ QUAD_MODE = gauss
     from volumetricinterp_tpu.parallel import grid_eval_sharded, make_mesh
 
     mesh1 = make_mesh(1, len(jax.devices()))
-    out_sh = grid_eval_sharded(ev, C, glat, glon, galt, mesh1)
+    # steady-state product path: the grid lives on device (uploading
+    # 200 MB of f64 coordinates per call through the dev tunnel would
+    # measure the link, not the kernel)
+    out_sh = grid_eval_sharded(ev, C, lat_d, lon_d, alt_d, mesh1)
     sync(jnp.asarray(out_sh).ravel()[:1])
     t0 = time.perf_counter()
     for _ in range(10):
-        out_sh = grid_eval_sharded(ev, C, glat, glon, galt, mesh1)
+        out_sh = grid_eval_sharded(ev, C, lat_d, lon_d, alt_d, mesh1)
     sync(jnp.asarray(out_sh).ravel()[:1])
     pts_sharded = n * 10 / (time.perf_counter() - t0 - rtt)
 
@@ -162,6 +168,7 @@ QUAD_MODE = gauss
     interp.calc_coeffs()
     interp.saveh5()
     full_day_s = time.perf_counter() - t0
+    e2e_finite_frac = float(np.isfinite(interp.chi_sq).mean())
 
     target_pts = 1.0e9
     print(json.dumps({
@@ -175,8 +182,10 @@ QUAD_MODE = gauss
             "grid_eval_s": round(dt_eval, 5),
             "record_fits_per_s_chi2_exact": round(fits_per_s, 2),
             "record_fits_per_s_chi2_fast": round(fits_fast, 2),
+            "fit_finite_frac": fit_ok,
             "grid_eval_sharded_pts_per_s": round(pts_sharded, 1),
             "full_day_1000rec_e2e_s": round(full_day_s, 2),
+            "e2e_finite_frac": round(e2e_finite_frac, 4),
             "fit_batch": [nrec, npts],
             "eval_impl": ev.impl,
             "cheb_degree_eval": ev.degree,

@@ -106,9 +106,13 @@ def test_suff_stats_match_einsum(design, records):
     assert N == mask.sum()
 
 
-def test_sym_pinv_matches_scipy(rng):
+def test_sym_pinv_matches_scipy():
     import scipy.linalg
 
+    # local generator: the session-scoped `rng` fixture's state depends on
+    # which tests ran before, and an unlucky draw can make the
+    # rank-deficient pinv comparison ill-conditioned beyond the 1e-8 bar
+    rng = np.random.default_rng(1234)
     n = 20
     B = rng.normal(size=(n, n))
     X = B @ B.T

@@ -1,0 +1,161 @@
+"""The deflation-ladder eigendecomposition (ops/solve._ladder_eigh_x).
+
+On TPU every f64-input eigh is silently f32-precision inside, so weighted
+normal matrices (spectra spanning 16-20 decades) lose everything below
+~1e-7 |w|max — which breaks the reference's gelsd-cutoff solve semantics
+at eps64 * |w|max (observed: every record of a synthetic day NaN-failing
+because chi2(alpha -> 0) was inflated above nu).  The ladder recovers
+f64-grade resolution from f32 eighs plus exact-sliced matmuls and an
+expansion-stored basis.
+
+These tests run the ladder ON CPU with f32-split expansions, which
+reproduces the TPU precision model (f32 words, f32 level-0 eigh) against
+numpy's f64 oracle.  The `_EIGH_EMULATED_RESID` hook additionally injects
+the measured TPU QDWH backward-error level (~2e-5 of ||M|| — 70x XLA-CPU's
+f32 eigh) so the REAL device's failure mode is covered without TPU access.
+
+Eigenvalues are compared by NEAREST MATCH, not sorted position:
+near-degenerate pairs legitimately repel/shuffle under perturbation.  The
+ladder's contract is NOT a perfect eigenbasis — near-degenerate pairs
+(values within ~3x) retain couplings that no f32-eigh rotation can remove
+— so eigenvalue bars loosen toward the deep end, and chi^2 (what the fit
+actually consumes) is compared through the coupling-aware exact solve,
+where those couplings cancel (see ops/solve._keep_solve_x)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from volumetricinterp_tpu.ops import solve
+from volumetricinterp_tpu.ops.solve import (_ladder_eigh_x, _ladder_levels,
+                                            chi2_from_eig, chi2_from_eig_x,
+                                            EPS64)
+from volumetricinterp_tpu.ops.xprec import split_f64_host, exp_hi
+
+
+@pytest.fixture(autouse=True)
+def _reset_noise_hook():
+    yield
+    solve._EIGH_EMULATED_RESID = 0.0
+
+
+def _as_x(m, nwords=3):
+    """Host-split f32 expansion: on CPU this SIMULATES the TPU precision
+    model (f32 words + f32 eighs) against the f64 oracle."""
+    return tuple(map(jnp.asarray, split_f64_host(m, nwords=nwords)))
+
+
+def _exp_val(e):
+    out = np.zeros(np.shape(e[0]))
+    for w in reversed(e):
+        out = out + np.asarray(w, np.float64)
+    return out
+
+
+def _spd_logspectrum(rng, n, decades):
+    w = 10.0 ** (-decades * rng.random(n))
+    w[0] = 1.0  # pin the top
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    return (Q * w) @ Q.T
+
+
+def _fit_problem(rng, n=144, npts=400, grade=8.0):
+    """Fit-structured (AtWA, AtWb, btWb): graded design columns make the
+    normal matrix span ~16 decades, and AtWb = A'Wb lies in range(AtWA)
+    like every real record."""
+    A = rng.normal(size=(npts, n)) * (10.0 ** (-grade * rng.random(n)))[None]
+    W = rng.uniform(0.5, 2.0, npts)
+    b = A @ rng.normal(size=n) + 0.1 * rng.normal(size=npts)
+    AtWA = (A * W[:, None]).T @ A
+    AtWb = (A * W[:, None]).T @ b
+    return AtWA, AtWb, float(W @ (b * b))
+
+
+def _matched_rel(w_est, w_true, floor):
+    """Nearest-match relative error for true eigenvalues above ``floor``."""
+    sel = w_true > floor
+    return np.array([np.min(np.abs(w_est - t)) / t for t in w_true[sel]])
+
+
+def test_ladder_levels_sizes():
+    assert _ladder_levels(144) == (120, 96, 64, 32)
+    assert _ladder_levels(144, boot=True) == (96, 64, 32)
+    ks = _ladder_levels(3)
+    assert all(1 <= k <= 3 for k in ks)
+
+
+@pytest.mark.parametrize("noise", [0.0, 2e-5])
+def test_ladder_resolves_deep_spectrum(noise):
+    solve._EIGH_EMULATED_RESID = noise
+    rng = np.random.default_rng(11)
+    n = 144
+    X = _spd_logspectrum(rng, n, 18)
+    s = np.trace(X) / n
+    Xn = X / s
+    w_true = np.sort(np.linalg.eigvalsh(Xn))
+    w_x, _, _ = _ladder_eigh_x(_as_x(Xn))
+    w = _exp_val(w_x)
+    mx = np.abs(w_true).max()
+    # tight where the spectrum is solidly above the QDWH-noise ladder
+    # floor, looser through the deep half (near-pair couplings, see
+    # module docstring)
+    assert _matched_rel(w, w_true, 1e-4 * mx).max() < 5e-2
+    assert _matched_rel(w, w_true, 1e-10 * mx).max() < 0.5
+    if noise == 0.0:
+        # the plain f32 eigh alone is NOT enough (this is the TPU failure
+        # mode the ladder exists to fix): sub-floor eigenvalues are noise
+        w32 = np.linalg.eigvalsh(Xn.astype(np.float32)).astype(float)
+        rel32 = _matched_rel(w32, w_true, 1e-12 * mx)
+        assert rel32.max() > 10 * _matched_rel(w, w_true, 1e-12 * mx).max()
+
+
+def test_boot_ladder_tracks_perturbed_matrix():
+    """Bootstrapping from a nearby matrix's ladder basis resolves the
+    perturbed matrix's deep spectrum without a fresh full-size eigh."""
+    solve._EIGH_EMULATED_RESID = 2e-5
+    rng = np.random.default_rng(3)
+    n = 144
+    X = _spd_logspectrum(rng, n, 18)
+    s = np.trace(X) / n
+    _, V0x, _ = _ladder_eigh_x(_as_x(X / s))
+    R = rng.normal(size=(n, n))
+    R = R @ R.T
+    X2 = X + 1e-7 * s * R / np.abs(np.linalg.eigvalsh(R)).max()
+    s2 = np.trace(X2) / n
+    Xn2 = X2 / s2
+    w_x, _, _ = _ladder_eigh_x(_as_x(Xn2), boot_Vx=V0x)
+    w_true = np.sort(np.linalg.eigvalsh(Xn2))
+    mx = np.abs(w_true).max()
+    assert _matched_rel(_exp_val(w_x), w_true, 1e-4 * mx).max() < 0.12
+
+
+@pytest.mark.parametrize("noise", [0.0, 2e-5])
+def test_ladder_chi2_matches_f64_cutoff(noise):
+    """chi^2 under gelsd-cutoff semantics from the ladder must agree with
+    the f64 oracle inside the keep-flip staircase envelope, on
+    fit-structured matrices whose chi2 floor the plain-f32 path inflates
+    by tens of percent (the TPU all-records-NaN regression).  noise=2e-5
+    reproduces the real TPU QDWH eigh quality."""
+    solve._EIGH_EMULATED_RESID = noise
+    rng = np.random.default_rng(7)
+    n = 144
+
+    for trial in range(3):
+        AtWA, AtWb, btWb = _fit_problem(rng)
+        s = float(2.0 ** np.round(np.log2(np.trace(AtWA) / n)))
+        Xn = AtWA / s
+        wt, Vt = np.linalg.eigh(Xn)
+        c2_true = float(chi2_from_eig(
+            jnp.asarray(wt * s), jnp.asarray(Vt), jnp.asarray(AtWA),
+            jnp.asarray(AtWb), jnp.asarray(btWb)))
+        k_true = int((np.abs(wt) > EPS64 * np.abs(wt).max()).sum())
+        # production TPU path: f32-expansion ladder + identity-form chi^2
+        w_x, Vx, M_x = _ladder_eigh_x(_as_x(Xn))
+        c2_l = float(chi2_from_eig_x(
+            w_x, Vx, M_x, _as_x(AtWb), _as_x(np.float64(btWb)),
+            jnp.float32(s)))
+        w_hi = np.asarray(exp_hi(w_x))
+        k_l = int((np.abs(w_hi) > EPS64 * np.abs(w_hi).max()).sum())
+        assert abs(c2_l - c2_true) / abs(c2_true) < 3e-2, \
+            (trial, c2_l, c2_true)
+        assert abs(k_l - k_true) <= 4, (trial, k_l, k_true)

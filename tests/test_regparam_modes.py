@@ -100,10 +100,11 @@ def test_defect_matches_grid_scan(fit_ensemble):
     stats, R = fit_ensemble
     for (st, kind) in stats:
         AtWA, AtWb, btWb, N = st
-        a_h = float(chi2_reg_param(AtWA, AtWb, btWb, N, R))
-        a_g = float(chi2_reg_param_grid(AtWA, AtWb, btWb, N, R))
+        args = ((AtWA,), (AtWb,), (jnp.asarray(btWb),), N, (R,))
+        a_h = float(chi2_reg_param(*args))       # log10(alpha)
+        a_g = float(chi2_reg_param_grid(*args))  # log10(alpha)
         if kind == "too_smooth":
-            assert a_h == 0.0 and a_g == 0.0
+            assert a_h == -np.inf and a_g == -np.inf
         elif kind == "no_bracket":
             assert np.isnan(a_h) and np.isnan(a_g)
         else:
@@ -114,5 +115,4 @@ def test_defect_matches_grid_scan(fit_ensemble):
             # in log10(alpha) (docs/PARITY_NOTES.md #7/#8; same envelope
             # as test_fit.test_fit_records_match_oracle's alpha_tol)
             assert np.isfinite(a_h) and np.isfinite(a_g)
-            assert abs(np.log10(a_h) - np.log10(a_g)) < 2e-3, (
-                kind, a_h, a_g)
+            assert abs(a_h - a_g) < 2e-3, (kind, a_h, a_g)

@@ -93,18 +93,25 @@ class Interpolate:
         W = jnp.asarray(W).ravel()
         mask = jnp.isfinite(b).astype(A.dtype)
         AtWA, AtWb, btWb, N = suff_stats(A, b, W, mask)
+        from .ops.solve import _plain_to_x
+
         out = {}
         for name in self.regularization_list:
             R = jnp.asarray(reg_matrices[name])
             if method == "chi2":
-                out[name] = float(
-                    regparam_mod.chi2_reg_param(AtWA, AtWb, btWb, N, R)
+                root = float(
+                    regparam_mod.chi2_reg_param(
+                        _plain_to_x(AtWA), _plain_to_x(AtWb),
+                        _plain_to_x(jnp.asarray(btWb)), N, _plain_to_x(R))
                 )
+                out[name] = 10.0 ** root if np.isfinite(root) else (
+                    0.0 if root == -np.inf else np.nan)
             elif method == "gcv":
                 Wm = jnp.where(mask > 0, W, 0.0)
-                out[name] = float(
+                root = float(
                     regparam_mod.gcv_reg_param(AtWA, AtWb, R, A, b, Wm, mask)
                 )
+                out[name] = 10.0 ** root if np.isfinite(root) else np.nan
             elif method == "manual":
                 out[name] = regparam_mod.manual_reg_param(name)
             elif method == "prompt":
@@ -297,10 +304,10 @@ class Interpolate:
 
         with self.timer.phase("fit_records"):
             mp = (
-                jnp.asarray(manual_params) if manual_params is not None
-                else None
+                np.asarray(manual_params, np.float64)
+                if manual_params is not None else None
             )
-            A_dev = jnp.asarray(A)
+            A_np = np.asarray(A)
 
             def dispatch(s, e):
                 if multiproc:
@@ -316,15 +323,15 @@ class Interpolate:
                     from .parallel import fit_records_sharded
 
                     C, dC, c2, rp = fit_records_sharded(
-                        value[s:e], error[s:e], A_dev, reg_mats, mesh,
+                        value[s:e], error[s:e], A_np, reg_mats, mesh,
                         method=method, manual_params=mp,
                         regparam_mode=self.config.tpu.regparam_mode,
                     )
                 else:
                     C, dC, c2, rp = fit_records(
-                        jnp.asarray(value[s:e]),
-                        jnp.asarray(error[s:e]),
-                        A_dev,
+                        value[s:e],
+                        error[s:e],
+                        A_np,
                         reg_mats,
                         method=method,
                         manual_params=mp,

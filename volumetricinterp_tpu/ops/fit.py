@@ -11,6 +11,14 @@ interpolate.py:557-563.  The design matrix A is shared across records (the
 beam geometry is file-level in AMISR data, interpolate.py:496,525) and is
 computed once outside this module.
 
+PRECISION: the reference runs in f64; this TPU has none (ops/xprec.py), so
+the public entry point ``fit_records`` is a HOST wrapper that splits the
+inputs into f32 expansions (exact, 3 words) before the jitted expansion
+pipeline.  On CPU an expansion is one f64 word and the same code is the
+plain f64 algorithm.  Regularization parameters travel device-side as
+LOG10(alpha) (raw alphas reach 1e-50, far below f32 range) and are
+converted to the reference's raw-alpha convention on the host.
+
 Sharding: see parallel/fit.py for the mesh-parallel wrapper (records axis =
 data parallel; measurement-point axis = psum-reduced partial normal
 equations).
@@ -20,38 +28,41 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import regparam
-from .solve import final_solve, suff_stats
+from . import regparam, xprec
+from .solve import final_solve_x, suff_stats, suff_stats_x
+from .xprec import exp_hi
 
 
 def record_stats(values, errors, A):
-    """Masked sufficient statistics of one record (NaN -> zero weight)."""
+    """Masked sufficient statistics of one record (NaN -> zero weight);
+    plain-array library surface."""
     mask = jnp.isfinite(values).astype(A.dtype)
     W = jnp.where(mask > 0, errors, 1.0) ** (-2)
     b = jnp.where(mask > 0, values, 0.0)
     return suff_stats(A, b, W, mask)
 
 
-def fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method: str,
-                   manual_params=None, regparam_mode: str = "exact"):
-    """Fit one record from sufficient statistics (chi2/manual methods; GCV
-    needs per-point quantities, see fit_one_record).
+def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
+                     manual_log_params=None, regparam_mode: str = "exact"):
+    """Fit one record from expansion sufficient statistics (chi2/manual
+    methods; GCV needs per-point quantities, see fit_one_record_x).
 
-    regparam_mode: 'exact' (default) uses the hybrid cutoff-semantics
-    search (~9 eighs/record, ops/regparam.chi2_reg_param); 'exact_grid'
-    uses the full 101-point cutoff-eigh grid scan (round-1 receipts
-    baseline); 'fast' uses the O(nbasis)-per-alpha whitened search
-    (ops/regparam.chi2_reg_param_fast).
+    regparam_mode: 'exact' (default) uses the defect-corrected ladder
+    search (ops/regparam.chi2_reg_param); 'exact_grid' the full 101-point
+    grid scan (receipts baseline); 'fast' the O(nbasis)-per-alpha
+    whitened search.
 
-    Returns (C [nb], dC [nb, nb], chi2 [], reg_params [nreg])."""
-    nreg = reg_mats.shape[0]
+    Returns (C [nb], dC [nb, nb], chi2 [], log_alphas [nreg])."""
+    dt = btWb_x[0].dtype
+    nreg = reg_mats_x[0].shape[0]
     if nreg == 0:
-        alphas = jnp.zeros((0,), dtype=AtWA.dtype)
+        log_alphas = jnp.zeros((0,), dtype=dt)
     elif method in ("manual", "prompt"):
-        alphas = jnp.asarray(manual_params, dtype=AtWA.dtype)
+        log_alphas = jnp.asarray(manual_log_params, dtype=dt)
     elif method == "chi2":
         # reference semantics: each parameter solved with all others at
         # zero (interpolate.py:120-124, 246-252)
@@ -60,67 +71,135 @@ def fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method: str,
             "exact_grid": regparam.chi2_reg_param_grid,
             "fast": regparam.chi2_reg_param_fast,
         }[regparam_mode]
-        alphas = jnp.stack([
-            search(AtWA, AtWb, btWb, N, reg_mats[i])
+        log_alphas = jnp.stack([
+            search(AtWA_x, AtWb_x, btWb_x, N,
+                   tuple(w[i] for w in reg_mats_x))
             for i in range(nreg)
         ])
     else:
         raise ValueError(f"method {method!r} needs per-point data; "
-                         "use fit_one_record")
+                         "use fit_one_record_x")
 
-    C, dC, chi2 = final_solve(AtWA, AtWb, btWb, reg_mats, alphas)
+    C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x,
+                                log_alphas)
 
     # NaN-fill failed records (interpolate.py:557-563)
-    bad = jnp.any(jnp.isnan(alphas)) if nreg > 0 else jnp.asarray(False)
-    nb = AtWA.shape[-1]
+    bad = jnp.any(jnp.isnan(log_alphas)) if nreg > 0 else jnp.asarray(False)
+    nb = C.shape[-1]
     C = jnp.where(bad, jnp.full((nb,), jnp.nan, dtype=C.dtype), C)
     dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dtype=dC.dtype), dC)
     chi2 = jnp.where(bad, jnp.nan, chi2)
-    return C, dC, chi2, alphas
+    return C, dC, chi2, log_alphas
 
 
-def fit_one_record(values, errors, A, reg_mats, method: str,
-                   manual_params=None, regparam_mode: str = "exact"):
-    """Fit a single record.  values/errors: [npoints]; A: [npoints, nbasis];
-    reg_mats: [nreg, nbasis, nbasis].  `method` is static.
+def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
+                     manual_log_params=None, regparam_mode: str = "exact"):
+    """Fit a single record from expansion inputs.  b_x/W_x: [npoints]
+    expansions (pre-masked on host); mask: [npoints]; A_x: [npoints,
+    nbasis] expansion; reg_mats_x: [nreg, nbasis, nbasis] expansion.
 
-    Returns (C [nb], dC [nb, nb], chi2 [], reg_params [nreg]).
-    """
-    AtWA, AtWb, btWb, N = record_stats(values, errors, A)
+    Returns (C [nb], dC [nb, nb], chi2 [], log_alphas [nreg])."""
+    AtWA_x, AtWb_x, btWb_x, N = suff_stats_x(A_x, b_x, W_x, mask)
 
-    nreg = reg_mats.shape[0]
+    nreg = reg_mats_x[0].shape[0]
     if method == "gcv" and nreg > 0:
-        mask = jnp.isfinite(values).astype(A.dtype)
-        W = jnp.where(mask > 0, errors, 1.0) ** (-2)
-        b = jnp.where(mask > 0, values, 0.0)
-        Wm = jnp.where(mask > 0, W, 0.0)
-        alphas = jnp.stack([
+        # GCV needs per-point quantities; plain-array objective
+        # (f32-grade on TPU, exact on CPU — docs/PARITY_NOTES.md)
+        A = exp_hi(A_x)
+        b = exp_hi(b_x)
+        Wm = jnp.where(mask > 0, exp_hi(W_x), 0.0)
+        log_alphas = jnp.stack([
             regparam.gcv_reg_param(
-                AtWA, AtWb, reg_mats[i], A, b, Wm, mask,
+                exp_hi(AtWA_x), exp_hi(AtWb_x),
+                exp_hi(tuple(w[i] for w in reg_mats_x)),
+                A, b, Wm, mask,
                 regparam_mode=("fast" if regparam_mode == "fast"
                                else "exact"),
             )
             for i in range(nreg)
         ])
-        C, dC, chi2 = final_solve(AtWA, AtWb, btWb, reg_mats, alphas)
-        bad = jnp.any(jnp.isnan(alphas))
-        nb = A.shape[1]
+        C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x,
+                                    log_alphas)
+        bad = jnp.any(jnp.isnan(log_alphas))
+        nb = C.shape[-1]
         C = jnp.where(bad, jnp.full((nb,), jnp.nan, dtype=C.dtype), C)
         dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dtype=dC.dtype), dC)
         chi2 = jnp.where(bad, jnp.nan, chi2)
-        return C, dC, chi2, alphas
+        return C, dC, chi2, log_alphas
 
-    return fit_from_stats(AtWA, AtWb, btWb, N, reg_mats, method,
-                          manual_params, regparam_mode)
+    return fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method,
+                            manual_log_params, regparam_mode)
 
 
 @partial(jax.jit, static_argnames=("method", "regparam_mode"))
+def _fit_records_core(b_x, W_x, mask, A_x, reg_mats_x, method: str = "chi2",
+                      manual_log_params=None, regparam_mode: str = "exact"):
+    """Vmapped batched fit over expansion inputs (leading record axis on
+    b_x/W_x/mask)."""
+    f = partial(fit_one_record_x, A_x=A_x, reg_mats_x=reg_mats_x,
+                method=method, manual_log_params=manual_log_params,
+                regparam_mode=regparam_mode)
+    return jax.vmap(f, in_axes=(0, 0, 0))(b_x, W_x, mask)
+
+
+def prepare_fit_inputs(values, errors, A, reg_mats):
+    """HOST-side preparation: reference QC masking semantics
+    (interpolate.py:516-524) in numpy f64, then backend-appropriate
+    expansion splitting (3-word f32 on TPU — exact for f64; 1-word f64
+    elsewhere).  Splitting must happen on host: f64 does not survive the
+    device transfer on this TPU."""
+    values = np.asarray(values, np.float64)
+    errors = np.asarray(errors, np.float64)
+    A = np.asarray(A, np.float64)
+    reg_mats = np.asarray(reg_mats, np.float64)
+    mask = np.isfinite(values)
+    W = np.where(mask, errors, 1.0) ** -2.0
+    b = np.where(mask, values, 0.0)
+    W = np.where(mask, W, 0.0)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def split(x):
+        if on_tpu:
+            return tuple(map(jnp.asarray, xprec.split_f64_host(x, 3)))
+        return (jnp.asarray(x),)
+
+    return (split(b), split(W), jnp.asarray(mask.astype(np.float32)),
+            split(A), split(reg_mats))
+
+
 def fit_records(values, errors, A, reg_mats, method: str = "chi2",
                 manual_params=None, regparam_mode: str = "exact"):
-    """Vmapped batched fit.  values/errors: [nrec, npoints].
+    """Batched fit of a record block (host entry point).
+
+    values/errors: [nrec, npoints]; A: [npoints, nbasis]; reg_mats:
+    [nreg, nbasis, nbasis]; manual_params: raw alphas (reference
+    convention).
 
     Returns (C [nrec, nb], dC [nrec, nb, nb], chi2 [nrec],
-    reg_params [nrec, nreg])."""
-    f = partial(fit_one_record, A=A, reg_mats=reg_mats, method=method,
-                manual_params=manual_params, regparam_mode=regparam_mode)
-    return jax.vmap(f)(values, errors)
+    reg_params [nrec, nreg]) — reg_params in the reference's RAW alpha
+    units (converted on host from the device-side log10 representation).
+    """
+    b_x, W_x, mask, A_x, reg_mats_x = prepare_fit_inputs(
+        values, errors, A, reg_mats)
+    mlp = None
+    if manual_params is not None:
+        mp = np.asarray(manual_params, np.float64)
+        with np.errstate(divide="ignore"):
+            mlp = jnp.asarray(np.log10(mp))
+    C, dC, chi2, log_alphas = _fit_records_core(
+        b_x, W_x, mask, A_x, reg_mats_x, method=method,
+        manual_log_params=mlp, regparam_mode=regparam_mode)
+    la = np.asarray(log_alphas, np.float64)
+    with np.errstate(over="ignore"):
+        rp = 10.0 ** la  # -inf -> 0.0 (too smooth), NaN -> NaN
+    return C, dC, chi2, jnp.asarray(rp)
+
+
+def fit_one_record(values, errors, A, reg_mats, method: str,
+                   manual_params=None, regparam_mode: str = "exact"):
+    """Fit a single record (host entry point); see fit_records."""
+    C, dC, chi2, rp = fit_records(
+        np.asarray(values)[None], np.asarray(errors)[None], A, reg_mats,
+        method=method, manual_params=manual_params,
+        regparam_mode=regparam_mode)
+    return C[0], dC[0], chi2[0], rp[0]

@@ -10,35 +10,98 @@ TPU-first re-design of the reference fit core (interpolate.py:432-469):
   parameter search (which the reference serves with a full scipy lstsq per
   objective evaluation, interpolate.py:255,345) operates entirely in
   coefficient space.
-* For the alpha line-search, a single generalized eigendecomposition of the
-  (AtWA, R) pencil per record turns every subsequent chi^2(alpha) evaluation
-  into an O(nbasis) diagonal expression (see ops/regparam.py).
+* For the alpha line-search, a single eigendecomposition per objective
+  evaluation turns chi^2(alpha) into a diagonal expression (ops/regparam.py).
 * The final solve reproduces scipy.linalg.lstsq/pinv min-norm semantics
   (interpolate.py:462-466) through a symmetric eigendecomposition with the
-  scipy cutoff rule — exact for the symmetric matrices used here, and far
-  cheaper than SVD on TPU.
+  scipy cutoff rule.
 
-All functions are jit-safe, vmap over a leading record axis, and work in
-float64 (required: the normal equations square the design-matrix condition
-number; see SURVEY.md section 7).
+PRECISION MODEL.  The reference runs in LAPACK f64; this TPU has no f64 at
+all (storage truncates, every op rounds at f32 or below — measured, see
+ops/xprec.py).  Precision-critical values therefore travel as f32
+EXPANSIONS (tuples of 1-3 f32 words, host-split), matmuls that must
+preserve deep cancellation go through the exact-sliced Ozaki matmul
+(xprec.ozaki_mm), and eigendecompositions use the deflation LADDER below
+(f32 eighs + exact projections + an EXPANSION-STORED eigenbasis: a plain
+f32 basis carries ~5e-13 * |w|max of irreducible Rayleigh contamination
+from vector rounding alone, 1000x the gelsd cutoff at eps64 * |w|max).
+On CPU — where real f64 exists — an expansion is a single f64 word and
+every xprec primitive collapses to the native op, so ONE code path serves
+both backends and the CPU test suite exercises the same algorithms.
+
+Alpha spans [1e-100, 1] (reference bracket grid), far outside f32 range;
+it travels as a SPLIT (mantissa f32, exponent int32) and multiplies
+expansions through exact exponent-bit shifts (mul_pow2i).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
+from . import xprec
+from .xprec import (as_expansion, exp_add, exp_hi, exp_mul, exp_mul_f32,
+                    exp_neg, exp_renorm, exp_scale_pow2, ozaki_mm,
+                    ozaki_mm_long, two_sum)
+
+
+def _is_x64(x):
+    return x[0].dtype == jnp.float64
+
+
+# ---------------------------------------------------------------------------
+# split-exponent scalars: values like alpha = 10^a, a in [-100, 0]
+# ---------------------------------------------------------------------------
+
+def pow10_split(a_log):
+    """10**a_log as (mantissa in [1, 2), integer exponent): f32-safe for
+    ANY a_log (1e-100 underflows f32 outright).  -inf (the too-smooth
+    alpha = 0 sentinel) clamps to an exponent that flushes to zero in
+    mul_pow2i; NaN propagates."""
+    a = jnp.maximum(a_log, -4000.0)  # keep k inside int32, m finite
+    t = a * 3.321928094887362  # log2(10)
+    k = jnp.floor(t)
+    m = jnp.exp2(t - k)  # in [1, 2): f32-accurate relative
+    m = jnp.where(jnp.isnan(a_log), jnp.nan, m)
+    return m.astype(jnp.float32), k.astype(jnp.int32)
+
+
+def mul_pow2i(x, k):
+    """x * 2^k for integer k via exponent-bit addition — exact; results
+    outside f32 range flush to zero / clamp to max (acceptable: they sit
+    beyond every cutoff used here).  Works on f64 (CPU) via ldexp."""
+    if x.dtype == jnp.float64:
+        return x * jnp.exp2(k.astype(jnp.float64))
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    e = (bits >> 23) & 0xFF
+    new_e = e + k
+    flush = (new_e <= 0) | (e == 0)
+    new_e = jnp.clip(new_e, 1, 254)
+    mant = bits & jnp.int32(~(0xFF << 23))
+    out = jax.lax.bitcast_convert_type(mant | (new_e << 23), jnp.float32)
+    return jnp.where(flush, 0.0, out)
+
+
+def exp_mul_split(x, m, k):
+    """Expansion times a split scalar (m * 2^k)."""
+    if _is_x64(x):
+        scale = m.astype(jnp.float64) * jnp.exp2(k.astype(jnp.float64))
+        return (x[0] * scale,)
+    out = exp_mul_f32(x, m)
+    return tuple(mul_pow2i(w, k) for w in out)
+
+
+# ---------------------------------------------------------------------------
+# sufficient statistics
+# ---------------------------------------------------------------------------
 
 def suff_stats(A, b, W, mask):
-    """Sufficient statistics of one record's weighted LS problem.
+    """Sufficient statistics of one record's weighted LS problem (plain
+    arrays; library-surface / CPU path).
 
-    A: [npoints, nbasis] design matrix (shared across records)
-    b: [npoints] data (NaNs allowed where mask=0)
-    W: [npoints] weights = error^{-2} (NaNs allowed where mask=0)
-    mask: [npoints] 1.0 for valid points
-
-    Returns (AtWA [nb,nb], AtWb [nb], btWb [], N []).
-    """
+    A: [npoints, nbasis]; b, W, mask: [npoints].
+    Returns (AtWA [nb,nb], AtWb [nb], btWb [], N [])."""
     Wm = jnp.where(mask > 0, W, 0.0)
     bm = jnp.where(mask > 0, b, 0.0)
     Aw = A * Wm[:, None]
@@ -49,85 +112,590 @@ def suff_stats(A, b, W, mask):
     return AtWA, AtWb, btWb, N
 
 
-N_REFINE_SMALL = 64  # eigenvalues refined in f64 under refine='mixed'
+def suff_stats_x(A_x, b_x, W_x, mask):
+    """Expansion sufficient statistics: exact-grade A'WA / A'Wb / b'Wb.
+
+    A_x: [npoints, nbasis] expansion (shared across records); b_x, W_x:
+    [npoints] expansions; mask: [npoints] f32.  The reference computes
+    these einsums in f64 (interpolate.py:456-458); on TPU the native
+    "f64" matmul is bf16-grade, which alone perturbs AtWA's deep spectrum
+    by ~1e-3 and breaks the gelsd-cutoff solve, hence ozaki_mm_long."""
+    Wm_x = tuple(jnp.where(mask > 0, w, 0.0) for w in W_x)
+    bm_x = tuple(jnp.where(mask > 0, w, 0.0) for w in b_x)
+    # Aw = A * W (elementwise, broadcast W over columns)
+    Aw_x = exp_mul(A_x, tuple(w[..., None] for w in Wm_x))
+    At_x = tuple(jnp.swapaxes(w, -1, -2) for w in A_x)
+    AtWA_x = ozaki_mm_long(At_x, Aw_x)
+    Wb_x = exp_mul(Wm_x, bm_x)
+    AtWb_x = ozaki_mm_long(At_x, tuple(w[..., None] for w in Wb_x))
+    AtWb_x = tuple(w[..., 0] for w in AtWb_x)
+    btWb_x = xprec.exp_dot(Wb_x, bm_x)
+    N = jnp.sum(mask)
+    return AtWA_x, AtWb_x, btWb_x, N
 
 
-def _eigh_safe(Xn, refine="full"):
-    """Symmetric eigendecomposition of a trace-normalized matrix, robust on
-    the TPU backend.
+# ---------------------------------------------------------------------------
+# the deflation-ladder eigendecomposition (expansion-stored basis)
+# ---------------------------------------------------------------------------
+#
+# Problem: eigendecompose a normal matrix whose spectrum spans 16-20
+# decades, down to the gelsd cutoff at eps64 * |w|max ~ 2e-16, on hardware
+# whose ONLY native eigh is f32-grade (TPU QDWH backward error ~2e-5 of
+# ||X||, measured — 70x XLA-CPU's f32 eigh, 1300x LAPACK).  Two separate
+# obstacles, each fatal alone:
+#
+#   (1) algorithmic: the f32 eigh scrambles every mode below ~2e-5 |w|max;
+#   (2) representational: even a PERFECT basis rounded to f32 carries
+#       delta'X delta ~ 5e-13 |w|max of Rayleigh contamination per vector
+#       (delta = rounding), so eigenvalues below ~1e-12 |w|max are
+#       unrecoverable from any f32-stored basis.
+#
+# The ladder fixes (1) with scaled deflation — re-eigh the k smallest
+# modes' EXACT projected block, renormalized to O(1) so the f32 solver
+# resolves that block's own top decades — and (2) by storing the
+# eigenbasis as a TWO-WORD f32 expansion (48-bit: contamination
+# ~2^-96 |w|max) with every basis update an exact-sliced Ozaki product.
+# Between levels, POLISH rounds against the exact projection kill the
+# residual mixing the f32 eighs leave: closed-form 2x2 Jacobi rotations on
+# mutual-max-coupled pairs (gap-independent — handles the QDWH-grade
+# misresolved pairs first-order corrections overshoot on), plus gated
+# first-order corrections for the perturbative rest, iterated so the
+# correction error contracts quadratically (one-shot corrections with
+# QDWH-corrupted eigenvalue estimates leave ~5e-3 block-complement mixing
+# — measured — which poisons every deflation level downstream).
 
-    TPU f64 eigh is unreliable: it loses ~8 digits at absolute scales around
-    1e-20, and the BATCHED n>~100 f64 path returns NaN outright (observed on
-    v5e).  On TPU we therefore run the (working) float32 eigh and refine the
-    eigenvalues in float64 with Rayleigh quotients w_i = (v_i' X v_i)/
-    (v_i'v_i) — f32 eigenvectors give ~1e-7-accurate subspaces and hence
-    ~1e-14-accurate refined eigenvalues for separated modes, which matches
-    the documented TPU parity floor.  Other backends use the native f64
-    path.
+def _ladder_levels(n, boot=False):
+    """Deflation-block sizes at basis size n: (5n/6, 2n/3, 4n/9, 2n/9) —
+    at n=144: (120, 96, 64, 32).  Each f32 block eigh resolves ~4.5
+    decades below its block top (QDWH backward error ~2e-5), so block
+    boundaries must advance by less than that per level; four levels
+    cover 20-decade spectra through the cutoff at eps64 * |w|max.
+    Bootstrapped ladders (whose starting basis already resolves the top)
+    skip the first level."""
+    ks = (-(-5 * n // 6), -(-2 * n // 3), -(-4 * n // 9), -(-2 * n // 9))
+    if boot:
+        ks = ks[1:]
+    return tuple(max(1, min(k, n)) for k in ks)
 
-    refine='mixed' (the regularization-search path): f64 matmuls are
-    EMULATED on TPU at ~46 GFLOP/s (measured, docs/ROADMAP.md), making the
-    full-spectrum f64 Rayleigh (~105 us/record at n=144) comparable to the
-    eigh itself.  Only the near-cutoff end of the spectrum needs f64
-    resolution (the gelsd keep-decision at eps64 * max|w| sits far below
-    f32's ~1e-7 floor; large eigenvalues enter chi^2 as 1/w where
-    f32-relative accuracy shifts the root by ~1e-7 decades, two orders
-    below the cutoff-retention noise floor of PARITY_NOTES #7).  So:
-    the f32 eigh's own eigenvalues for the bulk + f64 Rayleigh for the
-    N_REFINE_SMALL smallest-|w| vectors.
+
+_EIGH_EMULATED_RESID = 0.0  # test hook: emulate TPU QDWH quality on CPU
+
+
+def _block_eigh_f32(M):
+    """f32 eigendecomposition of a normalized block (the only native eigh
+    this hardware has).  _EIGH_EMULATED_RESID > 0 injects a deterministic
+    symmetric backward error of that relative size — the CPU test suite
+    uses it to reproduce the TPU QDWH residual level (~2e-5 of ||M||,
+    measured; XLA-CPU's own f32 eigh is ~3e-7, LAPACK ~1.5e-8) without
+    TPU access."""
+    M = M.astype(jnp.float32)
+    if _EIGH_EMULATED_RESID:
+        n = M.shape[-1]
+        i = jnp.arange(n, dtype=jnp.float32)
+        eta = jnp.sin(3.7 * i[:, None] + 1.3 * i[None, :] + 0.61)
+        eta = 0.5 * (eta + eta.T)
+        scale = jnp.max(jnp.abs(M)) * jnp.float32(_EIGH_EMULATED_RESID)
+        M = M + scale * eta
+    return jnp.linalg.eigh(M)
+
+
+def _vxT(Vx):
+    return tuple(jnp.swapaxes(w, -1, -2) for w in Vx)
+
+
+def _promote_x(V, nwords=2):
+    """Plain array -> zero-padded expansion (f64 stays one word)."""
+    if V.dtype == jnp.float64:
+        return (V,)
+    V = V.astype(jnp.float32)
+    return (V,) + tuple(jnp.zeros_like(V) for _ in range(nwords - 1))
+
+
+_LADDER_MAXPQ = 6  # Ozaki chunk-product budget inside the ladder: floor
+# 2^-64 ~ 5e-20 of the normalized scale — 600x below the eps64 cutoff the
+# keep decision needs, and 33% fewer MXU products than the default 8
+
+
+def _project_x(Xx, Vx, nwords=3):
+    """Exact M = V' X V for an expansion basis (two chained Ozaki
+    products), symmetrized.  Per-entry ABSOLUTE accuracy ~5e-20 of the
+    operand scales — resolving couplings 16+ decades below ||X|| is the
+    whole game; no native matmul on this hardware can do it."""
+    T = ozaki_mm(Xx, Vx, nwords=nwords, maxpq=_LADDER_MAXPQ)
+    M = ozaki_mm(_vxT(Vx), T, nwords=nwords, maxpq=_LADDER_MAXPQ)
+    return tuple(0.5 * (w + jnp.swapaxes(w, -1, -2)) for w in M)
+
+
+def _ns_orth_x(Vx):
+    """Newton-Schulz orthonormalization in expansion arithmetic:
+    V <- V + V (I - V'V)/2; one step squares the defect.  Must run in the
+    expansion: a plain f32 multiplier cannot even represent diagonal
+    deviations below ~6e-8, and basis cross-talk eta acts exactly like
+    eigenvector mixing (contamination eta^2 * |w|max)."""
+    if _is_x64(Vx):
+        return Vx
+    G = ozaki_mm(_vxT(Vx), Vx, nwords=2, maxpq=_LADDER_MAXPQ)
+    n = G[0].shape[-1]
+    eye = jnp.eye(n, dtype=G[0].dtype)
+    # D = (I - G)/2: I - G0 is exact in f32 (entries near 1 subtract by
+    # Sterbenz; the rest are sign flips), /2 is a pow2 scale
+    D = exp_renorm([0.5 * (eye - G[0])] + [-0.5 * w for w in G[1:]],
+                   nwords=2)
+    return exp_add(Vx, ozaki_mm(Vx, D, nwords=2, maxpq=_LADDER_MAXPQ),
+                   nwords=2)
+
+
+_WIN = 48     # window width (positions); spans ~4-5 decades on AMISR-like
+_WSTRIDE = 24  # spectra — within the f32 eigh's ~4.5-decade resolution
+
+
+def _window_starts(n):
+    """Static window starts covering [0, n) from the TOP of an ascending
+    order (start n - _WIN first, descending by _WSTRIDE, last window
+    left-aligned at 0)."""
+    if n <= _WIN:
+        return [0]
+    starts = list(range(n - _WIN, 0, -_WSTRIDE))
+    starts.append(0)
+    return starts
+
+
+def _window_sweep_x(Xx, Vx, d_hi):
+    """One sequential sliding-window block-Jacobi sweep down the sorted
+    spectrum.
+
+    Modes are sorted by |Rayleigh value|; overlapping windows (width
+    _WIN, stride _WSTRIDE) walk from the TOP of the spectrum down.  Each
+    window's block of the exact projection M is renormalized to O(1)
+    (power of two) and eigendecomposed in f32 — an EXACT orthogonal
+    rotation of those modes, at the window's own scale, regardless of
+    gaps.  This is what first-order polish corrections cannot do: with
+    QDWH-grade Rayleigh estimates, gap signs invert and gated
+    gradient-like corrections amplify as often as they contract
+    (measured: stuck at ~1e-1 mixing through 10 rounds).  A window eigh
+    has no denominators to get wrong.
+
+    Each window may scramble its own bottom ~decade (below ITS noise
+    floor); the next window — shifted _WSTRIDE, overlapping by
+    _WIN - _WSTRIDE — re-resolves those modes at the deeper scale, so a
+    full sweep leaves every mode resolved by a window whose top is within
+    ~2.7 decades of it.  M is maintained EXACTLY through the sweep via
+    skinny Ozaki row/column updates.  Couplings between modes more than
+    _WIN positions apart are perturbative at every stage (the deflation
+    levels already resolved them to their blocks' noise floors) and
+    second-order harmless.
+
+    Returns (d_hi, Vx) with columns in sorted order (eigen-order is
+    arbitrary downstream: every consumer masks on |w|)."""
+    n = d_hi.shape[-1]
+    # ascending |d|: consistent with eigh's within-window ascending order,
+    # so windows never reshuffle already-resolved modes back into deeper
+    # windows
+    order = jnp.argsort(jnp.abs(d_hi))
+    Vx = tuple(jnp.take(w, order, axis=-1) for w in Vx)
+    M_x = _project_x(Xx, Vx)
+    win = min(_WIN, n)
+    starts = jnp.asarray(_window_starts(n), jnp.int32)
+
+    def body(i, carry):
+        Vx, M_x = carry
+        s0 = starts[i]
+        z0 = jnp.zeros((), jnp.int32)
+        Mb = tuple(lax.dynamic_slice(w, (s0, s0), (win, win)) for w in M_x)
+        db = jnp.abs(jnp.diagonal(exp_hi(Mb), axis1=-2, axis2=-1))
+        sc = xprec._pow2_scale(jnp.max(db)[None])[0]
+        _, Q = _block_eigh_f32(exp_hi(exp_scale_pow2(Mb, 1.0 / sc)))
+        # rotate the window's basis columns and M rows/cols (exact)
+        Vs = tuple(lax.dynamic_slice(w, (z0, s0), (n, win)) for w in Vx)
+        Vw = ozaki_mm(Vs, (Q,), nwords=2, maxpq=_LADDER_MAXPQ)
+        Vx = tuple(lax.dynamic_update_slice(w, vw, (z0, s0))
+                   for w, vw in zip(Vx, Vw))
+        Ms = tuple(lax.dynamic_slice(w, (z0, s0), (n, win)) for w in M_x)
+        Mc = ozaki_mm(Ms, (Q,), nwords=3, maxpq=_LADDER_MAXPQ)
+        M_x = tuple(lax.dynamic_update_slice(w, mc, (z0, s0))
+                    for w, mc in zip(M_x, Mc))
+        Mt = tuple(lax.dynamic_slice(w, (s0, z0), (win, n)) for w in M_x)
+        Mr = ozaki_mm((Q.T,), Mt, nwords=3, maxpq=_LADDER_MAXPQ)
+        M_x = tuple(lax.dynamic_update_slice(w, mr, (s0, z0))
+                    for w, mr in zip(M_x, Mr))
+        return Vx, M_x
+
+    Vx, M_x = lax.fori_loop(0, len(_window_starts(n)), body, (Vx, M_x))
+    d_hi = jnp.diagonal(exp_hi(M_x), axis1=-2, axis2=-1)
+    return d_hi, _ns_orth_x(Vx)
+
+
+_FO_GATE = 0.1  # first-order corrections only below this |coupling/gap|
+
+
+def _fo_polish_round_x(Xx, Vx, M_x=None):
+    """One gated first-order polish round against the exact projection.
+
+    Runs AFTER the window sweeps, which is what makes it convergent: the
+    sweeps leave all mixings <= ~eps_eigh * 10^2.7 ~ 1e-2 and Rayleigh
+    estimates correct to ~1e-4 relative, so gap signs are reliable for
+    every pair the gate admits — a pair whose gap is smaller than its
+    estimate error has |E| = |M_ij / (d_j - d_i)| >> gate and is skipped
+    (harmless: near-equal partners contaminate Rayleigh quotients only
+    at their own scale).  Each round contracts admitted mixings
+    quadratically (M is re-projected exactly); eigh-based rotations
+    cannot do this — their backward error re-injects ~eps_eigh mixing per
+    application — which is why diag(M) floors at ~1e-4 relative without
+    these rounds.
+
+    Returns (d_hi, Vx)."""
+    if M_x is None:
+        M_x = _project_x(Xx, Vx)
+    M = exp_hi(M_x)
+    n = M.shape[-1]
+    tiny = jnp.finfo(M.dtype).tiny
+    eye = jnp.eye(n, dtype=bool)
+    d = jnp.diagonal(M, axis1=-2, axis2=-1)
+    den = d[..., None, :] - d[..., :, None]  # den[i,j] = d_j - d_i
+    E = jnp.where(eye, 0.0, M) / jnp.where(jnp.abs(den) > tiny, den, tiny)
+    # den-reliability: only correct pairs separated by >= ~3x in value —
+    # for closer pairs the Rayleigh-estimate error can flip the gap sign
+    # and the "correction" amplifies instead (measured: non-contracting
+    # churn at the deep end).  Skipped near-pairs are benign: mutual
+    # contamination is coupling^2 * (lambda_j / lambda_i) <= 3 coupling^2,
+    # within the reference's own keep-flip staircase noise.
+    ad = jnp.abs(d)
+    reliable = jnp.abs(den) > 0.5 * (ad[..., None, :] + ad[..., :, None])
+    DEV = jnp.where((jnp.abs(E) < _FO_GATE) & reliable & ~eye, E, 0.0)
+    Vx = exp_add(Vx, ozaki_mm(Vx, (DEV,), nwords=2, maxpq=_LADDER_MAXPQ),
+                 nwords=2)
+    return d, _ns_orth_x(Vx)
+
+
+def _level_x(Xx, Vx, d_hi, k):
+    """One deflation level: re-eigh the k smallest-|d| modes' EXACT
+    projected block, renormalized to O(1) so the f32 solver resolves the
+    block's own top ~4.5 decades, and rotate those basis columns (exact
+    Ozaki product — the rotation itself is f32, which is enough: pairs
+    the eigh rotates by O(1) angles have near-equal eigenvalues, so the
+    f32 angle error contaminates only at (6e-8)^2 relative)."""
+    n = d_hi.shape[-1]
+    _, idx = lax.top_k(-jnp.abs(d_hi), k)
+    Vs = tuple(jnp.take(w, idx, axis=-1) for w in Vx)
+    Ms = _project_x(Xx, Vs)
+    db = jnp.abs(jnp.diagonal(exp_hi(Ms), axis1=-2, axis2=-1))
+    s = xprec._pow2_scale(jnp.max(db)[None])[0]
+    wb, Q = _block_eigh_f32(exp_hi(exp_scale_pow2(Ms, 1.0 / s)))
+    Vs = ozaki_mm(Vs, (Q,), nwords=2, maxpq=_LADDER_MAXPQ)
+    Vx = tuple(
+        jnp.put_along_axis(w, jnp.broadcast_to(idx[None, :], ws.shape),
+                           ws, axis=-1, inplace=False)
+        for w, ws in zip(Vx, Vs))
+    d_hi = jnp.put_along_axis(d_hi, idx, wb * s, axis=-1, inplace=False)
+    return d_hi, Vx
+
+
+_N_SWEEPS = 1  # window sweeps after the deflation levels (a second sweep
+# measurably changes nothing: the first leaves only near-pair couplings,
+# which sweeps cannot remove and the coupling-aware solve absorbs)
+_N_FO = 2      # first-order polish rounds after the sweeps
+
+
+def _ladder_eigh_x(Xx, boot_Vx=None):
+    """Ladder eigendecomposition of a NORMALIZED expansion (|w|max ~ 1).
+
+    Structure: one full-size f32 eigh seeds the basis; the deflation
+    LEVELS grade the deep spectrum (each re-eighs the k smallest modes'
+    exact block at its own scale, advancing the resolved floor ~4.5
+    decades); the WINDOW SWEEPS then repair all residual local scrambling
+    (near-floor and level-boundary mixing) with exact rotations; one
+    Newton-Schulz step restores expansion-grade orthonormality.
+
+    Returns (w_x, Vx, M_x): eigenvalues as a 2-word expansion (the exact
+    Rayleigh diagonal), the 2-word expansion eigenbasis, and the final
+    exact projection M = V' X V (near-diagonal; its off-diagonal
+    couplings feed the cutoff solve's Richardson refinement).
+
+    ``boot_Vx``: eigenbasis of a NEARBY matrix (e.g. AtWA for
+    X = AtWA + alpha R near a chi2 root) — skips the full-size f32 eigh
+    AND the first deflation level; the window sweeps absorb the top-mode
+    drift and the remaining levels re-resolve the deep spectrum fresh."""
+    hi = exp_hi(Xx)
+    if _is_x64(Xx):  # CPU: native f64 eigh is exact — no ladder needed
+        w, V = jnp.linalg.eigh(hi)
+        M = jnp.zeros_like(hi) + jnp.diag(w)  # exact projection is diagonal
+        return (w,), (V,), (M,)
+    n = hi.shape[-1]
+    if boot_Vx is None:
+        _, V0 = _block_eigh_f32(hi)
+        Vx = _promote_x(V0)
+        levels = _ladder_levels(n)
+    else:
+        Vx = boot_Vx
+        levels = _ladder_levels(n, boot=True)
+    d_hi = jnp.diagonal(exp_hi(_project_x(Xx, Vx)), axis1=-2, axis2=-1)
+    for k in levels:
+        d_hi, Vx = _level_x(Xx, Vx, d_hi, k)
+    for _ in range(_N_SWEEPS):
+        d_hi, Vx = _window_sweep_x(Xx, Vx, d_hi)
+    for _ in range(_N_FO):
+        d_hi, Vx = _fo_polish_round_x(Xx, Vx)
+    Vx = _ns_orth_x(Vx)
+    M_x = _project_x(Xx, Vx)
+    w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
+    return w_x, Vx, M_x
+
+
+def _norm_scale_x(Xx):
+    """Power-of-two normalization scale (f32-safe) from the hi word's
+    mean |diagonal| — exact to divide by."""
+    hi = exp_hi(Xx)
+    if _is_x64(Xx):
+        # CPU: exactness of the scale is irrelevant (native f64); keep the
+        # reference-style trace normalization
+        n = hi.shape[-1]
+        t = jnp.trace(hi) / n
+        return jnp.where(jnp.abs(t) > 0, jnp.abs(t), 1.0)
+    t = jnp.mean(jnp.abs(jnp.diagonal(hi)))
+    return xprec._pow2_scale(t[None])[0]
+
+
+def normalized_eigh_x(Xx):
+    """Ladder eigendecomposition of an expansion with power-of-two
+    normalization.  Returns (w_x, Vx, s, M_x): w_x the 2-word eigenvalue
+    expansion of Xx / s (NORMALIZED units — f32-safe even when the raw
+    matrix scale is 1e-22), Vx the 2-word expansion eigenbasis, s the
+    exact power-of-two scale, M_x the exact projection V'(Xx/s)V."""
+    s = _norm_scale_x(Xx)
+    Xn = exp_scale_pow2(Xx, 1.0 / s)
+    w_x, Vx, M_x = _ladder_eigh_x(Xn)
+    return w_x, Vx, s, M_x
+
+
+def normalized_eigh_boot_x(Xx, boot_Vx):
+    """Bootstrapped normalized_eigh_x from the eigenbasis of a nearby
+    matrix (skips the full-size f32 eigh and the first deflation level)."""
+    s = _norm_scale_x(Xx)
+    Xn = exp_scale_pow2(Xx, 1.0 / s)
+    if _is_x64(Xx):
+        w, V = jnp.linalg.eigh(exp_hi(Xn))
+        return (w,), (V,), s, (jnp.zeros_like(exp_hi(Xn)) + jnp.diag(w),)
+    w_x, Vx, M_x = _ladder_eigh_x(Xn, boot_Vx=boot_Vx)
+    return w_x, Vx, s, M_x
+
+
+# ---------------------------------------------------------------------------
+# cutoff solves and chi^2 (reference gelsd/pinv semantics)
+# ---------------------------------------------------------------------------
+
+EPS64 = 2.220446049250313e-16  # the reference's f64 cutoff unit
+
+
+def _exp_div_masked(u_x, w_x, keep):
+    """Elementwise expansion divide z = u / w on ``keep`` (0 elsewhere):
+    hi-quotient seed plus one exact-residual Newton step — full
+    f64-grade relative accuracy, which chi^2 = btWb - u'z needs because
+    the two terms cancel by orders of magnitude on well-fit records."""
+    if _is_x64(u_x):
+        z = u_x[0] / jnp.where(keep, w_x[0], 1.0)
+        return (jnp.where(keep, z, 0.0),)
+    w0 = jnp.where(keep, exp_hi(w_x), 1.0)
+    z0 = jnp.where(keep, exp_hi(u_x) / w0, 0.0)
+    r = exp_add(u_x, exp_neg(exp_mul(w_x, (z0,))), nwords=2)
+    z1 = jnp.where(keep, exp_hi(r) / w0, 0.0)
+    return exp_renorm([z0, z1], nwords=2)
+
+
+_N_CG = 32  # f32 CG iterations per refinement pass
+
+
+def _cg_f32(A, b, n_iter=_N_CG):
+    """Fixed-iteration conjugate gradients on a well-scaled SPD f32
+    system (unit diagonal, couplings < 1)."""
+    tiny = jnp.finfo(b.dtype).tiny
+
+    def body(_, carry):
+        z, r, p, rho = carry
+        Ap = A @ p
+        denom = p @ Ap
+        alpha = rho / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
+        z = z + alpha * p
+        r = r - alpha * Ap
+        rho_new = r @ r
+        beta = rho_new / jnp.where(rho > tiny, rho, tiny)
+        p = r + beta * p
+        return z, r, p, rho_new
+
+    z0 = jnp.zeros_like(b)
+    z, _, _, _ = lax.fori_loop(0, n_iter, body, (z0, b, b, b @ b))
+    return z
+
+
+def _keep_solve_x(w_x, u_x, M_x, keep, n_refine=2):
+    """z = solve of M|keep z = u|keep against the EXACT projection
+    M = V' Xn V, restricted to the kept modes.
+
+    The ladder basis is NOT a perfect eigenbasis: near-degenerate pairs
+    (values within ~3x) retain O(1)-couplings that no f32-eigh-based
+    rotation can reliably remove (the eigh backward error re-injects
+    them).  That is fine — chi^2 = btWb - u' M^-1|keep u is invariant
+    under any rotation WITHIN the kept subspace, so solving the coupled
+    system exactly replaces a perfect eigenbasis.  The solve runs CG on
+    the diagonally-scaled f32 system (unit diagonal, scaled couplings
+    <~ 0.8 -> converges where Richardson diverges), wrapped in exact-
+    residual expansion refinement: each pass multiplies the accuracy by
+    the f32 CG factor, reaching the ~1e-14 relative accuracy the
+    btWb - S cancellation needs in two passes."""
+    if _is_x64(u_x):
+        return _exp_div_masked(u_x, w_x, keep)
+    d_hi = exp_hi(w_x)
+    sd = jnp.sqrt(jnp.abs(jnp.where(keep, d_hi, 1.0)))
+    sd = jnp.maximum(sd, jnp.finfo(sd.dtype).tiny)
+    Mh = exp_hi(M_x)
+    km = keep[..., None, :] & keep[..., :, None]
+    n = d_hi.shape[-1]
+    eyeM = jnp.eye(n, dtype=Mh.dtype)
+    A32 = jnp.where(km, Mh / (sd[..., None, :] * sd[..., :, None]), eyeM)
+    z_x = (jnp.zeros_like(d_hi),)
+    r_x = u_x
+    for _ in range(n_refine + 1):
+        rhs = jnp.where(keep, exp_hi(r_x) / sd, 0.0)
+        y = _cg_f32(A32, rhs)
+        dz = jnp.where(keep, y / sd, 0.0)
+        z_x = exp_renorm(list(z_x) + [dz], nwords=2)
+        Mz = ozaki_mm(M_x, tuple(z[..., None] for z in z_x), nwords=2)
+        Mz = tuple(w[..., 0] for w in Mz)
+        r_x = exp_add(u_x, exp_neg(Mz), nwords=2)
+        r_x = tuple(jnp.where(keep, r, 0.0) for r in r_x)
+    return tuple(jnp.where(keep, z, 0.0) for z in z_x)
+
+
+def chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=None):
+    """Reference-cutoff chi^2 from ladder eigenpairs of X/s.
+
+    Uses the cancellation-free identity (V orthonormal, u = V'AtWb,
+    keep = |w| > eps64 max|w|, C = V z with z the kept-subspace solve):
+
+        chi2 = btWb - u'z/s - C'(alpha R)C,
+
+    which avoids the catastrophic C'AtWA C - 2 C'AtWb cancellation of the
+    direct form (C carries 1/w amplification over ~16 decades).  Every
+    term through the btWb - u'z/s cancellation is expansion-grade: u via
+    Ozaki (deep modes have u ~ sqrt(w)), z from the Richardson-refined
+    expansion solve against the exact M, the dot and the subtraction in
+    exact two_sum cascades.
+
+    ``aR_x``: expansion of alpha*R (the SAME regularization term inside
+    X), or None for alpha = 0.  ``s``: the normalization scale of the
+    eigenpairs (w_x in X/s units)."""
+    u_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in AtWb_x), nwords=2)
+    u_x = tuple(w[..., 0] for w in u_x)
+    aw = jnp.abs(exp_hi(w_x))
+    keep = aw > EPS64 * jnp.max(aw)
+    z_x = _keep_solve_x(w_x, u_x, M_x, keep)
+    S_x = xprec.exp_dot(u_x, z_x, nwords=2)
+    S_x = exp_scale_pow2(S_x, 1.0 / s)
+    diff = exp_add(btWb_x, exp_neg(S_x), nwords=2)
+    chi2 = diff[0]
+    for wd in diff[1:]:
+        chi2 = chi2 + wd
+    if aR_x is not None:
+        C = exp_hi(ozaki_mm(Vx, tuple(z[..., None] for z in z_x),
+                            nwords=1))[..., 0] / s
+        t = exp_hi(ozaki_mm(aR_x, (C[..., None],), nwords=1))[..., 0]
+        chi2 = chi2 - C @ t
+    return chi2
+
+
+def cutoff_chi2_x(m, k, AtWA_x, AtWb_x, btWb_x, R_x):
+    """chi^2 with X = AtWA + alpha R at alpha = m * 2^k (split scalar),
+    under reference gelsd-cutoff semantics (interpolate.py:220-261)."""
+    aR_x = exp_mul_split(R_x, m, k)
+    Xx = exp_add(AtWA_x, aR_x)
+    w_x, Vx, s, M_x = normalized_eigh_x(Xx)
+    return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x)
+
+
+def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params):
+    """Coefficients, covariance and chi^2 of one record's regularized fit
+    (interpolate.py:432-469 eval_C with calccov=True, plus the chi^2 of
+    interpolate.py:569), from expansion sufficient statistics.
+
+    Matches the reference's SOLVER PAIR: C uses the gelsd cutoff
+    (eps * max|w|), the covariance H uses scipy.linalg.pinv's cutoff
+    (N * eps * max|w|) — reproducing the reference's own inconsistency
+    (docs/PARITY_NOTES.md #8).
+
+    reg_mats_x: expansion with leading [nreg, ...] axis; reg_params:
+    [nreg] LOG10 alphas (raw alphas live down at 1e-50, far below f32
+    range; -inf encodes alpha = 0).
     """
-    if jax.default_backend() == "tpu" and Xn.dtype == jnp.float64:
-        w32, V32 = jnp.linalg.eigh(Xn.astype(jnp.float32))
-        V = V32.astype(jnp.float64)
-        tiny = jnp.finfo(Xn.dtype).tiny
-        if refine == "mixed":
-            n = Xn.shape[-1]
-            k = min(N_REFINE_SMALL, n)
-            _, idx = jax.lax.top_k(-jnp.abs(w32), k)
-            Vs = jnp.take_along_axis(V, idx[..., None, :], axis=-1)
-            num = jnp.einsum("...ij,...ij->...j", Vs, Xn @ Vs)
-            den = jnp.maximum(jnp.einsum("...ij,...ij->...j", Vs, Vs), tiny)
-            w = jnp.put_along_axis(
-                w32.astype(jnp.float64), idx, num / den, axis=-1,
-                inplace=False,
-            )
-            return w, V
-        num = jnp.einsum("...ij,...ik,...kj->...j", V, Xn, V)
-        # normalize by v'v so the refined eigenvalue error is second-order
-        # in the f32 subspace error (f32 vector norms deviate from 1 by
-        # ~1e-7, which would otherwise leak in at first order)
-        den = jnp.einsum("...ij,...ij->...j", V, V)
-        w = num / jnp.maximum(den, tiny)
-        return w, V
-    return jnp.linalg.eigh(Xn)
+    nreg = reg_mats_x[0].shape[0]
+    Xx = AtWA_x
+    aR_sum = None
+    for i in range(nreg):
+        R_i = tuple(wd[i] for wd in reg_mats_x)
+        m, k = pow10_split(reg_params[i])
+        aR_i = exp_mul_split(R_i, m, k)
+        aR_sum = aR_i if aR_sum is None else exp_add(aR_sum, aR_i)
+        Xx = exp_add(Xx, aR_i)
+    w_x, Vx, s, M_x = normalized_eigh_x(Xx)
+    n = w_x[0].shape[-1]
+    u_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in AtWb_x), nwords=2)
+    u_x = tuple(w[..., 0] for w in u_x)
+    w_hi = exp_hi(w_x)
+    aw = jnp.abs(w_hi)
+    wmax = jnp.max(aw)
+    keep_C = aw > EPS64 * wmax
+    keep_H = aw > float(n) * EPS64 * wmax
+    z_x = _keep_solve_x(w_x, u_x, M_x, keep_C)
+    C = exp_hi(ozaki_mm(Vx, tuple(z[..., None] for z in z_x),
+                        nwords=1))[..., 0] / s
+    V = exp_hi(Vx)
+    inv_w_H = jnp.where(keep_H, 1.0 / jnp.where(keep_H, w_hi, 1.0), 0.0)
+    # dC = H AtWA H with H = V diag(inv_w_H) V' / s: f32-grade per entry
+    # (covariance parity is data-determined; deep-mode noise documented)
+    VA = V.T @ exp_hi(AtWA_x)  # [n, n]
+    G = (VA @ V)               # V' AtWA V
+    Hmid = (inv_w_H[:, None] * G) * inv_w_H[None, :]
+    dC = (V @ Hmid @ V.T) / (s * s)
+    # chi^2 via the cancellation-free identity, expansion-grade through
+    # the btWb - S cancellation
+    S_x = xprec.exp_dot(u_x, z_x, nwords=2)
+    S_x = exp_scale_pow2(S_x, 1.0 / s)
+    diff = exp_add(btWb_x, exp_neg(S_x), nwords=2)
+    chi2 = diff[0]
+    for wd in diff[1:]:
+        chi2 = chi2 + wd
+    if aR_sum is not None:
+        t = exp_hi(ozaki_mm(aR_sum, (C[..., None],), nwords=1))[..., 0]
+        chi2 = chi2 - C @ t
+    return C, dC, chi2
+
+
+# ---------------------------------------------------------------------------
+# plain-array compatibility surface (library methods, CPU oracle tests)
+# ---------------------------------------------------------------------------
+
+def _plain_to_x(X):
+    """Wrap a plain array as an expansion: 1-word f64 on CPU; on TPU a
+    plain 'f64' array is already f32-grade (no f64 exists), so it becomes
+    a 1-word f32 expansion — the library surface is documented f32-grade
+    on TPU, the production pipeline passes host-split expansions."""
+    if X.dtype == jnp.float64 and jax.default_backend() != "tpu":
+        return (X,)
+    return (X.astype(jnp.float32),)
 
 
 def sym_pinv_apply(X, y, rcond_factor=None, want_H=True, rcond_factor_H=None):
-    """Min-norm solve C = pinv(X) @ y for symmetric X, plus pinv(X).
-
-    Matches the reference's SOLVER PAIR exactly (interpolate.py:462-465),
-    which uses two DIFFERENT singular-value cutoffs:
-      * C comes from scipy.linalg.lstsq -> LAPACK gelsd with rcond < 0,
-        i.e. cutoff = eps * max_sv  (verified empirically: gelsd keeps
-        singular values down to eps*max, NOT max(M,N)*eps*max);
-      * the covariance H comes from scipy.linalg.pinv, whose default
-        cutoff IS max(M,N) * eps * max_sv.
-    So directions with eps*max < sv < N*eps*max are fit (huge C
-    components) but reported as zero-variance — a reference inconsistency
-    reproduced faithfully here.
-    """
+    """Min-norm solve C = pinv(X) @ y for symmetric X, plus pinv(X), with
+    the reference's dual cutoffs (gelsd eps*max for C, pinv N*eps*max for
+    H) — see final_solve_x."""
     n = X.shape[-1]
-    eps = float(jnp.finfo(X.dtype).eps)
+    eps = EPS64
     if rcond_factor is None:
-        rcond_factor = eps  # gelsd machine-precision default
+        rcond_factor = eps
     if rcond_factor_H is None:
-        rcond_factor_H = float(n) * eps  # scipy.linalg.pinv default
-    # normalize to O(1): weighted normal matrices live at absolute scales
-    # ~1e-20 (W ~ error^-2 ~ 1e-21), far outside TPU linalg's comfort zone
-    s = jnp.trace(X) / n
-    s = jnp.where(jnp.abs(s) > 0, jnp.abs(s), 1.0)
-    w, V = _eigh_safe(X / s)
-    w = w * s
+        rcond_factor_H = float(n) * eps
+    Xx = _plain_to_x(X)
+    w_x, Vx, s, _ = normalized_eigh_x(Xx)
+    w = (exp_hi(w_x) * s).astype(X.dtype)
+    V = exp_hi(Vx).astype(X.dtype)
     aw = jnp.abs(w)
     wmax = jnp.max(aw, axis=-1, keepdims=True)
     inv_w = jnp.where(aw > rcond_factor * wmax, 1.0 / w, 0.0)
@@ -141,13 +709,11 @@ def sym_pinv_apply(X, y, rcond_factor=None, want_H=True, rcond_factor_H=None):
 
 
 def chi2_from_eig(w, V, AtWA, AtWb, btWb):
-    """Reference-cutoff chi^2 from a precomputed eigendecomposition (w, V)
-    of X = AtWA + a R.  Same gelsd cutoff rule as sym_pinv_apply
-    (eps * max |w|); chi^2 from sufficient statistics:
-        chi2 = C'AtWA C - 2 C'AtWb + btWb  ==  sum_i W_i (A C - b)_i^2.
-    """
-    eps = float(jnp.finfo(AtWA.dtype).eps)
+    """Reference-cutoff chi^2 from plain eigenpairs (w, V) of
+    X = AtWA + a R (library/test surface; CPU-grade arrays)."""
+    eps = EPS64
     V = V.astype(AtWA.dtype)
+    w = w.astype(AtWA.dtype)
     aw = jnp.abs(w)
     keep = aw > eps * jnp.max(aw)
     u = V.T @ AtWb
@@ -156,45 +722,37 @@ def chi2_from_eig(w, V, AtWA, AtWb, btWb):
 
 
 def cutoff_chi2(a, AtWA, AtWb, btWb, R):
-    """chi^2 of the fit with X = AtWA + a R under REFERENCE solve semantics.
-
-    Reproduces interpolate.py:220-261 (chi2objfunct) exactly: the coefficient
-    vector comes from the min-norm lstsq solve with scipy's singular-value
-    cutoff — which matters when the quirk-suppressed sin-columns
-    (docs/PARITY_NOTES.md #2) push X's spectrum below the cutoff.  chi^2 is
-    then evaluated from sufficient statistics:
-        chi2 = C'AtWA C - 2 C'AtWb + btWb  ==  sum_i W_i (A C - b)_i^2.
-    """
+    """chi^2 of the fit with X = AtWA + a R under REFERENCE solve
+    semantics (interpolate.py:220-261), plain-array surface."""
     X = AtWA + a * R
     C, _ = sym_pinv_apply(X, AtWb, want_H=False)
     return C @ (AtWA @ C) - 2.0 * (C @ AtWb) + btWb
 
 
-def normalized_eigh(X, refine="mixed"):
-    """Trace-normalized _eigh_safe: returns (w, V) of X itself (w rescaled
-    back), plus the normalization scale.  The shared entry point for every
-    cutoff-semantics decomposition in the chi2 SEARCH, hence the 'mixed'
-    Rayleigh refinement default (see _eigh_safe; the final solve keeps the
-    full-precision path through sym_pinv_apply)."""
+def normalized_eigh(X, refine="ladder"):
+    """Plain-array ladder eigendecomposition: (w, V, s) with w on the
+    ORIGINAL scale (callers on the library surface; the expansion
+    pipeline uses normalized_eigh_x).  refine='rayleigh' gives the cheap
+    f32+Rayleigh decomposition used by the fast-mode pencil whitening."""
     n = X.shape[-1]
-    s = jnp.trace(X) / n
-    s = jnp.where(jnp.abs(s) > 0, jnp.abs(s), 1.0)
-    w, V = _eigh_safe(X / s, refine=refine)
-    return w * s, V, s
+    if refine == "rayleigh" and jax.default_backend() == "tpu":
+        s = jnp.trace(X) / n
+        s = jnp.where(jnp.abs(s) > 0, jnp.abs(s), 1.0)
+        Xn = X / s
+        w32, V32 = jnp.linalg.eigh(Xn.astype(jnp.float32))
+        V = V32.astype(X.dtype)
+        tiny = jnp.finfo(X.dtype).tiny
+        num = jnp.einsum("...ij,...ik,...kj->...j", V, Xn, V)
+        den = jnp.maximum(jnp.einsum("...ij,...ij->...j", V, V), tiny)
+        return (num / den) * s, V, s
+    w_x, Vx, s, _ = normalized_eigh_x(_plain_to_x(X))
+    return ((exp_hi(w_x) * s).astype(X.dtype), exp_hi(Vx).astype(X.dtype),
+            s)
 
 
 def final_solve(AtWA, AtWb, btWb, reg_mats, reg_params):
-    """Coefficients, covariance and chi^2 of one record's regularized fit.
-
-    Implements interpolate.py:432-469 (eval_C with calccov=True) plus the
-    chi^2 computation of interpolate.py:569, all from sufficient statistics:
-      X = AtWA + sum_r alpha_r R_r
-      C = pinv(X) AtWb              (== scipy lstsq min-norm solution)
-      dC = pinv(X) AtWA pinv(X)
-      chi2 = C'AtWA C - 2 C'AtWb + btWb
-
-    reg_mats: [nreg, nb, nb]; reg_params: [nreg].
-    """
+    """Plain-array final solve (library surface / CPU path); the
+    expansion pipeline uses final_solve_x."""
     X = AtWA
     if reg_mats.shape[0] > 0:
         X = X + jnp.tensordot(reg_params, reg_mats, axes=1)
@@ -204,34 +762,35 @@ def final_solve(AtWA, AtWb, btWb, reg_mats, reg_params):
     return C, dC, chi2
 
 
+# ---------------------------------------------------------------------------
+# fast-path pencil whitening (f32-grade by design: jitter semantics)
+# ---------------------------------------------------------------------------
+
 def whiten_pencil(AtWA, R, jitter_rel=1e-12, eig_AtWA=None):
     """One-time whitening of the pencil (AtWA, R) for O(n) alpha scans.
 
-    Eigendecomposition-based (no Cholesky — batched f64 cholesky shares the
-    TPU fragility of batched eigh): with AtWA = V W V', define the factor
-    B^{-1} = W~^{-1/2} V' (W~ = W clipped at jitter_rel * max W), then
-    G = B^{-1} R B^{-T} = Q Lam Q'.  The closed forms
+    Eigendecomposition-based: with AtWA = V W V', define B^{-1} =
+    W~^{-1/2} V' (W~ clipped at jitter_rel * max W), then G = B^{-1} R
+    B^{-T} = Q Lam Q'.  The closed forms
 
         chi2(a) = sum u^2 [1/(1+a lam)^2 - 2/(1+a lam)] + btWb
         C(a)    = B^{-T} Q (I + a Lam)^{-1} u,   u = Q' B^{-1} AtWb
 
-    make every subsequent alpha evaluation O(nbasis).  The clipping
-    regularizes singular records (ridge limit == the reference's lstsq
-    min-norm behaviour, since AtWb is orthogonal to null(AtWA)).
+    make every alpha evaluation O(nbasis).  The clipping regularizes
+    singular records (ridge limit == the reference's lstsq min-norm
+    behaviour, since AtWb is orthogonal to null(AtWA)).  f32-grade
+    throughout (documented jitter semantics, docs/PARITY_NOTES.md #7).
 
     Returns (lam [n], Q [n, n], Binv [n, n]).  ``eig_AtWA`` optionally
-    supplies a precomputed (w, V) of AtWA itself (e.g. from
-    normalized_eigh) so the hybrid exact search shares one decomposition.
-    """
+    supplies precomputed (w, V) of AtWA (RAW scale) to share the search's
+    ladder decomposition."""
     n = AtWA.shape[-1]
     if eig_AtWA is None:
-        scale = jnp.trace(AtWA) / n
-        scale = jnp.where(scale > 0, scale, 1.0)
-        w, V = _eigh_safe(AtWA / scale, refine="mixed")
-        w = w * scale
+        w, V, _ = normalized_eigh(AtWA, refine="rayleigh")
     else:
         w, V = eig_AtWA
         V = V.astype(AtWA.dtype)
+        w = w.astype(AtWA.dtype)
     wmax = jnp.max(jnp.abs(w))
     w_safe = jnp.maximum(w, jitter_rel * jnp.where(wmax > 0, wmax, 1.0))
     Binv = (w_safe[:, None] ** -0.5) * V.T  # [n, n]
@@ -240,23 +799,34 @@ def whiten_pencil(AtWA, R, jitter_rel=1e-12, eig_AtWA=None):
     sR = jnp.where(jnp.abs(sR) > 0, jnp.abs(sR), 1.0)
     G = Binv @ (R / sR) @ Binv.T
     G = 0.5 * (G + G.T)
-    # G is O(1)-normalized by construction; refine on its own trace scale
     sG = jnp.trace(jnp.abs(G * jnp.eye(n, dtype=G.dtype))) / n + 1e-300
-    lam, Q = _eigh_safe(G / sG, refine="mixed")
-    lam = lam * (sG * sR)
+    if jax.default_backend() == "tpu":
+        w32, Q32 = jnp.linalg.eigh((G / sG).astype(jnp.float32))
+        Q = Q32.astype(G.dtype)
+        tiny = jnp.finfo(G.dtype).tiny
+        num = jnp.einsum("ij,ik,kj->j", Q, G / sG, Q)
+        den = jnp.maximum(jnp.einsum("ij,ij->j", Q, Q), tiny)
+        lam = (num / den) * (sG * sR)
+    else:
+        lam, Q = jnp.linalg.eigh(G / sG)
+        lam = lam * (sG * sR)
     return lam, Q, Binv
 
 
 def whitened_chi2(a, lam, u, btWb):
-    """chi^2 of the fit with X = AtWA + a R, from whitened quantities.
-
-    u = Q' B^{-1} AtWb.  Derivation: with B'C = Q (I+aLam)^{-1} u,
-    C'AtWA C = ||(I+aLam)^{-1} u||^2 and C'AtWb = u'(I+aLam)^{-1}u, so
-    chi2(a) = sum_i u_i^2 (d_i^2 - 2 d_i) + btWb,  d_i = 1/(1+a lam_i).
-    Monotone non-decreasing in a for a >= 0 (and lam >= 0), which makes the
-    chi2-nu root unique and bisection safe.
-    """
+    """chi^2 with X = AtWA + a R from whitened quantities (u = Q' B^{-1}
+    AtWb): chi2(a) = sum u_i^2 (d_i^2 - 2 d_i) + btWb, d = 1/(1+a lam).
+    Monotone non-decreasing in a for PSD R: bisection-safe."""
     d = 1.0 / (1.0 + a * lam)
+    return jnp.sum(u * u * (d * d - 2.0 * d)) + btWb
+
+
+def whitened_chi2_split(m, k, lam, u, btWb):
+    """whitened_chi2 with alpha = m * 2^k (split scalar, f32-safe for the
+    reference's 1e-100 grid floor)."""
+    al = mul_pow2i(m * lam, k) if lam.dtype != jnp.float64 \
+        else m * lam * jnp.exp2(jnp.asarray(k, jnp.float64))
+    d = 1.0 / (1.0 + al)
     return jnp.sum(u * u * (d * d - 2.0 * d)) + btWb
 
 

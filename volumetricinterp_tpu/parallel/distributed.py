@@ -28,6 +28,7 @@ import os
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 _initialized = False
@@ -136,10 +137,12 @@ def fit_records_distributed(values, errors, A, reg_mats, mesh: Mesh,
     from jax.sharding import PartitionSpec as P
 
     from .fit import _stats_then_solve
+    from ..ops.fit import prepare_fit_inputs
+    from ..ops.xprec import stack_x, unstack_x
 
-    values = np.asarray(values)
-    errors = np.asarray(errors)
-    A = np.asarray(A)
+    values = np.asarray(values, np.float64)
+    errors = np.asarray(errors, np.float64)
+    A = np.asarray(A, np.float64)
     nrec, npts = values.shape
     r_ax = mesh.shape["records"]
     p_ax = mesh.shape["points"]
@@ -155,18 +158,35 @@ def fit_records_distributed(values, errors, A, reg_mats, mesh: Mesh,
     e = pad(pad(errors, nrec_p, 0, np.nan), npts_p, 1, np.nan)
     Ap = pad(A, npts_p, 0, 0.0)
 
-    v = make_global(v, mesh, P("records", "points"))
-    e = make_global(e, mesh, P("records", "points"))
-    Ap = make_global(Ap, mesh, P("points", None))
-    reg_mats = make_global(np.asarray(reg_mats), mesh, P())
+    b_x, W_x, mask, A_x, reg_x = prepare_fit_inputs(v, e, Ap, reg_mats)
+    nw = len(b_x)
 
-    C, dC, chi2, alphas = _stats_then_solve(
-        v, e, Ap, reg_mats, mesh, method, manual_params, regparam_mode)
+    def glob(exp, spec):
+        arr = np.asarray(stack_x(exp))
+        return unstack_x(make_global(arr, mesh, spec), nw)
+
+    b_x = glob(b_x, P(None, "records", "points"))
+    W_x = glob(W_x, P(None, "records", "points"))
+    mask = make_global(np.asarray(mask), mesh, P("records", "points"))
+    A_x = glob(A_x, P(None, "points", None))
+    reg_x = glob(reg_x, P(None))
+
+    mlp = None
+    if manual_params is not None:
+        with np.errstate(divide="ignore"):
+            mlp = np.log10(np.asarray(manual_params, np.float64))
+        mlp = jnp.asarray(mlp)
+
+    C, dC, chi2, log_a = _stats_then_solve(
+        b_x, W_x, mask, A_x, reg_x, mesh, method, mlp, regparam_mode)
 
     if jax.process_count() > 1:
-        C, dC, chi2, alphas = (
+        C, dC, chi2, log_a = (
             multihost_utils.process_allgather(x, tiled=True)
-            for x in (C, dC, chi2, alphas)
+            for x in (C, dC, chi2, log_a)
         )
+    la = np.asarray(log_a, np.float64)[:nrec]
+    with np.errstate(over="ignore"):
+        alphas = 10.0 ** la
     return (np.asarray(C)[:nrec], np.asarray(dC)[:nrec],
-            np.asarray(chi2)[:nrec], np.asarray(alphas)[:nrec])
+            np.asarray(chi2)[:nrec], alphas)

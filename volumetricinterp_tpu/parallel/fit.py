@@ -4,18 +4,20 @@ Structure (SURVEY.md sections 2, 5.7-5.8):
 
 1. **Sufficient-statistics stage** — shard_map over ('records', 'points'):
    each device reduces its point shard of the weighted normal equations and
-   psum's the [nbasis, nbasis] partials over the 'points' axis (the only
+   combines the [nbasis, nbasis] partials over the 'points' axis (the only
    communication in the whole fit; nbasis is tiny so this rides ICI in
-   microseconds).
+   microseconds).  On TPU the statistics are f32 EXPANSIONS (ops/xprec.py —
+   the hardware has no f64) and the cross-device reduction is the exact
+   all_gather + two_sum cascade (xprec.psum_x), not a rounding psum.
 2. **Solve stage** — the per-record regularization search + solve runs from
-   the statistics alone (ops/fit.fit_from_stats), records sharded over the
-   whole mesh, zero communication.
+   the statistics alone (ops/fit.fit_from_stats_x), records sharded over
+   the whole mesh, zero communication.
 
 Grid evaluation is a pure map: points shard across every device, no
 collectives (SURVEY.md section 5.7).
 
-GCV needs per-point leave-one-out quantities and is currently supported on
-the records axis only (points replicated); chi2/manual support both axes.
+GCV runs point-sharded through the scalar-psum objective
+(ops/regparam.gcv_objective); chi2/manual support both axes.
 """
 
 from __future__ import annotations
@@ -28,7 +30,10 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.fit import fit_from_stats, record_stats
+from ..ops import xprec
+from ..ops.fit import fit_from_stats_x, prepare_fit_inputs
+from ..ops.solve import suff_stats_x
+from ..ops.xprec import stack_x, unstack_x
 
 
 def _pad_to(x, n, axis, fill):
@@ -40,16 +45,25 @@ def _pad_to(x, n, axis, fill):
     return jnp.pad(x, widths, constant_values=fill)
 
 
+def _log_to_raw(log_alphas):
+    la = np.asarray(log_alphas, np.float64)
+    with np.errstate(over="ignore"):
+        return jnp.asarray(10.0 ** la)
+
+
 def fit_records_sharded(values, errors, A, reg_mats, mesh: Mesh,
                         method: str = "chi2", manual_params=None,
                         regparam_mode: str = "exact"):
-    """Sharded batched fit.  values/errors: [nrec, npoints]; A: [npoints, nb].
+    """Sharded batched fit.  values/errors: [nrec, npoints]; A: [npoints,
+    nb]; host arrays (expansion splitting happens here).
 
-    Returns (C, dC, chi2, reg_params) with the original nrec (padding record
-    and point shards is handled internally with NaN/zero masking).
+    Returns (C, dC, chi2, reg_params) with the original nrec (padding
+    record and point shards is handled internally with NaN/zero masking);
+    reg_params in the reference's raw-alpha units.
     """
+    values = np.asarray(values, np.float64)
+    errors = np.asarray(errors, np.float64)
     nrec, npts = values.shape
-    nb = A.shape[1]
     r_ax = mesh.shape["records"]
     p_ax = mesh.shape["points"]
 
@@ -60,114 +74,153 @@ def fit_records_sharded(values, errors, A, reg_mats, mesh: Mesh,
 
     # pad records with NaN (fully masked) and points with NaN data + zero
     # basis rows: both contribute nothing to the statistics
-    v = _pad_to(_pad_to(jnp.asarray(values), nrec_p, 0, jnp.nan),
-                npts_p, 1, jnp.nan)
-    e = _pad_to(_pad_to(jnp.asarray(errors), nrec_p, 0, jnp.nan),
-                npts_p, 1, jnp.nan)
-    Ap = _pad_to(jnp.asarray(A), npts_p, 0, 0.0)
+    v = _pad_to(_pad_to(np.asarray(values), nrec_p, 0, np.nan),
+                npts_p, 1, np.nan)
+    e = _pad_to(_pad_to(np.asarray(errors), nrec_p, 0, np.nan),
+                npts_p, 1, np.nan)
+    Ap = _pad_to(np.asarray(A, np.float64), npts_p, 0, 0.0)
+
+    b_x, W_x, mask, A_x, reg_x = prepare_fit_inputs(
+        np.asarray(v), np.asarray(e), np.asarray(Ap), reg_mats)
 
     if method == "gcv":
-        C, dC, chi2, alphas = _gcv_stage(
-            v, e, Ap, reg_mats, mesh, regparam_mode)
-        return C[:nrec], dC[:nrec], chi2[:nrec], alphas[:nrec]
+        C, dC, chi2, log_a = _gcv_stage(
+            b_x, W_x, mask, A_x, reg_x, mesh, regparam_mode)
+        return (C[:nrec], dC[:nrec], chi2[:nrec],
+                _log_to_raw(log_a[:nrec]))
 
-    C, dC, chi2, alphas = _stats_then_solve(
-        v, e, Ap, reg_mats, mesh, method, manual_params, regparam_mode)
-    return C[:nrec], dC[:nrec], chi2[:nrec], alphas[:nrec]
+    mlp = None
+    if manual_params is not None:
+        with np.errstate(divide="ignore"):
+            mlp = jnp.asarray(np.log10(np.asarray(manual_params,
+                                                  np.float64)))
+    C, dC, chi2, log_a = _stats_then_solve(
+        b_x, W_x, mask, A_x, reg_x, mesh, method, mlp, regparam_mode)
+    return C[:nrec], dC[:nrec], chi2[:nrec], _log_to_raw(log_a[:nrec])
 
 
-def _gcv_stage(v, e, Ap, reg_mats, mesh: Mesh, regparam_mode):
+def _gcv_stage(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, regparam_mode):
     """Point-sharded GCV fit (SURVEY.md 5.7): each device holds a point
-    shard, the psum'd full statistics drive the solve, and every
+    shard, the exactly-combined full statistics drive the solve, and every
     leave-one-out objective evaluation reduces ONE scalar over the points
-    axis (ops/regparam.gcv_objective's axis_name path) — so GCV now runs on
-    every mesh shape, not just records-only."""
+    axis (ops/regparam.gcv_objective's axis_name path)."""
     from ..ops import regparam
-    from ..ops.solve import final_solve, suff_stats
+    from ..ops.fit import fit_one_record_x
+    from ..ops.solve import final_solve_x
+    from ..ops.xprec import exp_hi, psum_x
 
-    nreg = reg_mats.shape[0]
+    nreg = reg_x[0].shape[0]
+    nw = len(b_x)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("records", "points"), P("records", "points"),
-                  P("points", None), P()),
+        in_specs=(P(None, "records", "points"), P(None, "records", "points"),
+                  P("records", "points"), P(None, "points", None), P()),
         out_specs=(P("records"), P("records"), P("records"), P("records")),
         check_vma=False,
     )
-    def stage(v_blk, e_blk, A_blk, regs):
-        def one(vv, ee):
-            mask = jnp.isfinite(vv).astype(A_blk.dtype)
-            W = jnp.where(mask > 0, ee, 1.0) ** (-2)
-            b = jnp.where(mask > 0, vv, 0.0)
-            Wm = jnp.where(mask > 0, W, 0.0)
-            AtWA, AtWb, btWb, N = suff_stats(A_blk, b, W, mask)
-            AtWA = jax.lax.psum(AtWA, "points")
-            AtWb = jax.lax.psum(AtWb, "points")
-            btWb = jax.lax.psum(btWb, "points")
-            alphas = jnp.stack([
+    def stage(b_s, W_s, m_blk, A_s, reg_s):
+        b_blk = unstack_x(b_s, nw)
+        W_blk = unstack_x(W_s, nw)
+        A_blk = unstack_x(A_s, nw)
+        regs = unstack_x(reg_s, nw)
+
+        def one(bb, ww, mm):
+            AtWA_x, AtWb_x, btWb_x, N = suff_stats_x(A_blk, bb, ww, mm)
+            AtWA_x = psum_x(AtWA_x, "points")
+            AtWb_x = psum_x(AtWb_x, "points")
+            btWb_x = psum_x(btWb_x, "points")
+            log_a = jnp.stack([
                 regparam.gcv_reg_param(
-                    AtWA, AtWb, regs[i], A_blk, b, Wm, mask,
+                    exp_hi(AtWA_x), exp_hi(AtWb_x),
+                    exp_hi(tuple(w[i] for w in regs)),
+                    exp_hi(A_blk), exp_hi(bb),
+                    jnp.where(mm > 0, exp_hi(ww), 0.0), mm,
                     axis_name="points",
                     regparam_mode=("fast" if regparam_mode == "fast"
                                    else "exact"),
                 )
                 for i in range(nreg)
             ])
-            C, dC, chi2 = final_solve(AtWA, AtWb, btWb, regs, alphas)
-            bad = jnp.any(jnp.isnan(alphas))
-            nb = A_blk.shape[1]
+            C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, regs,
+                                        log_a)
+            bad = jnp.any(jnp.isnan(log_a))
+            nb = C.shape[-1]
             C = jnp.where(bad, jnp.full((nb,), jnp.nan, C.dtype), C)
             dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dC.dtype), dC)
             chi2 = jnp.where(bad, jnp.nan, chi2)
-            return C, dC, chi2, alphas
+            return C, dC, chi2, log_a
 
-        return jax.vmap(one)(v_blk, e_blk)
+        return jax.vmap(one)(b_blk, W_blk, m_blk)
 
-    return stage(v, e, Ap, reg_mats)
+    return stage(stack_x(b_x), stack_x(W_x), mask, stack_x(A_x),
+                 stack_x(reg_x))
 
 
-def _stats_then_solve(v, e, Ap, reg_mats, mesh: Mesh, method, manual_params,
-                      regparam_mode):
-    """The two sharded stages on already-padded (global or local) arrays:
-    point-sharded psum-reduced statistics, then the per-record solve with
-    records sharded over the whole mesh.  Shared by the single-process
-    (fit_records_sharded) and multi-process (parallel/distributed.py)
-    paths."""
+def _stats_then_solve(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, method,
+                      manual_log_params, regparam_mode):
+    """The two sharded stages on already-padded expansion inputs:
+    point-sharded exactly-combined sufficient statistics, then the
+    per-record solve with records sharded over the whole mesh.  Shared by
+    the single-process (fit_records_sharded) and multi-process
+    (parallel/distributed.py) paths."""
+    from ..ops.xprec import psum_x
 
-    # stage 1: point-sharded, psum-reduced sufficient statistics
+    nw = len(b_x)
+
+    # stage 1: point-sharded, exactly-reduced sufficient statistics
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("records", "points"), P("records", "points"),
-                  P("points", None)),
-        out_specs=(P("records"), P("records"), P("records"), P("records")),
+        in_specs=(P(None, "records", "points"), P(None, "records", "points"),
+                  P("records", "points"), P(None, "points", None)),
+        out_specs=(P(None, "records"), P(None, "records"), P(None, "records"),
+                   P("records")),
     )
-    def stats_stage(v_blk, e_blk, A_blk):
-        AtWA, AtWb, btWb, N = jax.vmap(
-            lambda vv, ee: record_stats(vv, ee, A_blk)
-        )(v_blk, e_blk)
-        AtWA = jax.lax.psum(AtWA, "points")
-        AtWb = jax.lax.psum(AtWb, "points")
-        btWb = jax.lax.psum(btWb, "points")
-        N = jax.lax.psum(N, "points")
-        return AtWA, AtWb, btWb, N
+    def stats_stage(b_s, W_s, m_blk, A_s):
+        b_blk = unstack_x(b_s, nw)
+        W_blk = unstack_x(W_s, nw)
+        A_blk = unstack_x(A_s, nw)
 
-    AtWA, AtWb, btWb, N = stats_stage(v, e, Ap)
+        def one(bb, ww, mm):
+            return suff_stats_x(A_blk, bb, ww, mm)
+
+        AtWA_x, AtWb_x, btWb_x, N = jax.vmap(one)(b_blk, W_blk, m_blk)
+        AtWA_x = psum_x(AtWA_x, "points")
+        AtWb_x = psum_x(AtWb_x, "points")
+        btWb_x = psum_x(btWb_x, "points")
+        N = jax.lax.psum(N, "points")
+        return stack_x(AtWA_x), stack_x(AtWb_x), stack_x(btWb_x), N
+
+    AtWA_s, AtWb_s, btWb_s, N = stats_stage(
+        stack_x(b_x), stack_x(W_x), mask, stack_x(A_x))
 
     # stage 2: records resharded over the whole mesh, no communication
-    sh2 = NamedSharding(mesh, P(("records", "points")))
-    AtWA, AtWb, btWb, N = (
-        jax.device_put(x, sh2) for x in (AtWA, AtWb, btWb, N)
-    )
-    solve = jax.jit(
-        jax.vmap(
-            partial(fit_from_stats, reg_mats=reg_mats, method=method,
-                    manual_params=manual_params, regparam_mode=regparam_mode)
-        ),
-        out_shardings=sh2,
-    )
-    return solve(AtWA, AtWb, btWb, N)
+    sh2 = NamedSharding(mesh, P(None, ("records", "points")))
+    sh2n = NamedSharding(mesh, P(("records", "points")))
+    AtWA_s = jax.device_put(AtWA_s, sh2)
+    AtWb_s = jax.device_put(AtWb_s, sh2)
+    btWb_s = jax.device_put(btWb_s, sh2)
+    N = jax.device_put(N, sh2n)
+
+    @partial(jax.jit, static_argnames=("method", "regparam_mode"),
+             out_shardings=sh2n)
+    def solve(AtWA_s, AtWb_s, btWb_s, N, reg_s, mlp,
+              method=method, regparam_mode=regparam_mode):
+        def one(a_s, ab_s, bb_s, n):
+            return fit_from_stats_x(
+                unstack_x(a_s, nw), unstack_x(ab_s, nw),
+                unstack_x(bb_s, nw), n, unstack_x(reg_s, nw),
+                method=method, manual_log_params=mlp,
+                regparam_mode=regparam_mode)
+
+        # record axis is axis 1 of the word-stacked statistics
+        return jax.vmap(one, in_axes=(1, 1, 1, 0))(
+            AtWA_s, AtWb_s, btWb_s, N)
+
+    return solve(AtWA_s, AtWb_s, btWb_s, N, stack_x(reg_x),
+                 manual_log_params)
 
 
 def grid_eval_sharded(evaluator, C, gdlat, gdlon, gdalt, mesh: Mesh):
