@@ -78,8 +78,8 @@ def _matched_rel(w_est, w_true, floor):
 
 
 def test_ladder_levels_sizes():
-    assert _ladder_levels(144) == (120, 96, 64, 32)
-    assert _ladder_levels(144, boot=True) == (96, 64, 32)
+    assert _ladder_levels(144) == (120,)
+    assert _ladder_levels(144, boot=True) == ()
     ks = _ladder_levels(3)
     assert all(1 <= k <= 3 for k in ks)
 
@@ -105,8 +105,8 @@ def test_ladder_resolves_deep_spectrum(noise):
         # the plain f32 eigh alone is NOT enough (this is the TPU failure
         # mode the ladder exists to fix): sub-floor eigenvalues are noise
         w32 = np.linalg.eigvalsh(Xn.astype(np.float32)).astype(float)
-        rel32 = _matched_rel(w32, w_true, 1e-12 * mx)
-        assert rel32.max() > 10 * _matched_rel(w, w_true, 1e-12 * mx).max()
+        rel32 = _matched_rel(w32, w_true, 1e-10 * mx)
+        assert rel32.max() > 10 * _matched_rel(w, w_true, 1e-10 * mx).max()
 
 
 def test_boot_ladder_tracks_perturbed_matrix():

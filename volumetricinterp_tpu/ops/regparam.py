@@ -202,16 +202,25 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x):
         )
         r_new = _whitened_root_offset(lam, u, btWb_hi, nu, d, r0=r,
                                       slope=slope)
-        # out-of-bracket predictions carry directional information: clip
-        # just inside the violated end; NaN (no modeled crossing) falls
-        # back to the midpoint
+        # SAFEGUARDED step: clip the model prediction into the central
+        # half of the exact bracket, so every iteration shrinks the
+        # bracket by >= 25% even when the defect model keeps predicting
+        # outside (measured failure: stale-model predictions pinned near
+        # one end left decade-wide brackets and chi2 misses of several
+        # percent at the returned point); when the model is right, its
+        # prediction inside the central half is used as-is and
+        # convergence stays superlinear.  NaN (no modeled crossing) falls
+        # back to bisection.
         width = hi - lo
-        r_clip = jnp.clip(r_new, lo + 0.02 * width, hi - 0.02 * width)
+        r_clip = jnp.clip(r_new, lo + 0.25 * width, hi - 0.25 * width)
         r_next = jnp.where(jnp.isnan(r_new), 0.5 * (lo + hi), r_clip)
         return lo, hi, r_next, r, d
 
-    _, _, root, _, _ = lax.fori_loop(
+    lo, hi, _, _, _ = lax.fori_loop(
         0, N_DEFECT, body, (lo, hi, r, r_prev, d_prev))
+    # the midpoint of the final EXACT bracket, not the last unevaluated
+    # model prediction
+    root = 0.5 * (lo + hi)
 
     root = jnp.where(is_smooth, -jnp.inf, root)
     root = jnp.where(any_event, root, jnp.nan)

@@ -155,27 +155,32 @@ def suff_stats_x(A_x, b_x, W_x, mask):
 # resolves that block's own top decades — and (2) by storing the
 # eigenbasis as a TWO-WORD f32 expansion (48-bit: contamination
 # ~2^-96 |w|max) with every basis update an exact-sliced Ozaki product.
-# Between levels, POLISH rounds against the exact projection kill the
-# residual mixing the f32 eighs leave: closed-form 2x2 Jacobi rotations on
-# mutual-max-coupled pairs (gap-independent — handles the QDWH-grade
-# misresolved pairs first-order corrections overshoot on), plus gated
-# first-order corrections for the perturbative rest, iterated so the
-# correction error contracts quadratically (one-shot corrections with
-# QDWH-corrupted eigenvalue estimates leave ~5e-3 block-complement mixing
-# — measured — which poisons every deflation level downstream).
+# After the levels, a sorted SLIDING-WINDOW block-Jacobi sweep repairs the
+# local scrambling the level eighs leave (near-floor and level-boundary
+# mixing) with exact rotations at each window's own scale, then gated
+# first-order POLISH rounds contract the perturbative remainder
+# quadratically.  The residue no rotation can remove — couplings between
+# near-degenerate pairs (values within ~3x) — is absorbed downstream by
+# the coupling-aware solve (_keep_solve_x): chi^2 is invariant under
+# rotations within the kept subspace, so solving the coupled projected
+# system exactly replaces a perfect eigenbasis.
 
 def _ladder_levels(n, boot=False):
-    """Deflation-block sizes at basis size n: (5n/6, 2n/3, 4n/9, 2n/9) —
-    at n=144: (120, 96, 64, 32).  Each f32 block eigh resolves ~4.5
-    decades below its block top (QDWH backward error ~2e-5), so block
-    boundaries must advance by less than that per level; four levels
-    cover 20-decade spectra through the cutoff at eps64 * |w|max.
-    Bootstrapped ladders (whose starting basis already resolves the top)
-    skip the first level."""
-    ks = (-(-5 * n // 6), -(-2 * n // 3), -(-4 * n // 9), -(-2 * n // 9))
+    """Deflation-block sizes at basis size n.
+
+    ONE level of size 5n/6 (at n=144: 120) suffices for a fresh ladder:
+    it re-grades the whole sub-noise-floor cluster the full-size f32 eigh
+    leaves, after which the sorted window sweep IS the deep ladder — each
+    descending window re-eighs at its own scale, and the window overlap
+    carries misplaced modes all the way down in a single sweep.
+    Measured (QDWH noise hook, tests/test_ladder.py): adding deeper
+    levels (96, 64, 32) changes chi^2 parity by nothing at 3x the cost.
+    Bootstrapped ladders (whose starting basis is already graded) need NO
+    levels — the sweep absorbs the alpha-step drift at every alpha from
+    aR negligible to aR dominant."""
     if boot:
-        ks = ks[1:]
-    return tuple(max(1, min(k, n)) for k in ks)
+        return ()
+    return (max(1, min(-(-5 * n // 6), n)),)
 
 
 _EIGH_EMULATED_RESID = 0.0  # test hook: emulate TPU QDWH quality on CPU
@@ -260,7 +265,7 @@ def _window_starts(n):
     return starts
 
 
-def _window_sweep_x(Xx, Vx, d_hi):
+def _window_sweep_x(Vx, d_hi, M_x):
     """One sequential sliding-window block-Jacobi sweep down the sorted
     spectrum.
 
@@ -285,15 +290,19 @@ def _window_sweep_x(Xx, Vx, d_hi):
     levels already resolved them to their blocks' noise floors) and
     second-order harmless.
 
-    Returns (d_hi, Vx) with columns in sorted order (eigen-order is
-    arbitrary downstream: every consumer masks on |w|)."""
+    Returns (d_hi, Vx, M_x) with columns in sorted order (eigen-order is
+    arbitrary downstream: every consumer masks on |w|); M_x is the
+    maintained exact projection, permuted and updated through every
+    window rotation."""
     n = d_hi.shape[-1]
     # ascending |d|: consistent with eigh's within-window ascending order,
     # so windows never reshuffle already-resolved modes back into deeper
     # windows
     order = jnp.argsort(jnp.abs(d_hi))
     Vx = tuple(jnp.take(w, order, axis=-1) for w in Vx)
-    M_x = _project_x(Xx, Vx)
+    # permuting the maintained exact projection is free and exact
+    M_x = tuple(jnp.take(jnp.take(w, order, axis=-1), order, axis=-2)
+                for w in M_x)
     win = min(_WIN, n)
     starts = jnp.asarray(_window_starts(n), jnp.int32)
 
@@ -322,7 +331,7 @@ def _window_sweep_x(Xx, Vx, d_hi):
 
     Vx, M_x = lax.fori_loop(0, len(_window_starts(n)), body, (Vx, M_x))
     d_hi = jnp.diagonal(exp_hi(M_x), axis1=-2, axis2=-1)
-    return d_hi, _ns_orth_x(Vx)
+    return d_hi, Vx, M_x
 
 
 _FO_GATE = 0.1  # first-order corrections only below this |coupling/gap|
@@ -367,33 +376,52 @@ def _fo_polish_round_x(Xx, Vx, M_x=None):
     return d, _ns_orth_x(Vx)
 
 
-def _level_x(Xx, Vx, d_hi, k):
+def _level_x(Xx, Vx, d_hi, k, M_x):
     """One deflation level: re-eigh the k smallest-|d| modes' EXACT
     projected block, renormalized to O(1) so the f32 solver resolves the
     block's own top ~4.5 decades, and rotate those basis columns (exact
     Ozaki product — the rotation itself is f32, which is enough: pairs
     the eigh rotates by O(1) angles have near-equal eigenvalues, so the
-    f32 angle error contaminates only at (6e-8)^2 relative)."""
-    n = d_hi.shape[-1]
+    f32 angle error contaminates only at (6e-8)^2 relative).
+
+    The block is SLICED from the maintained exact projection ``M_x``
+    (free), and M_x is updated through the rotation with two skinny Ozaki
+    products — no full-size re-projection anywhere in the ladder."""
     _, idx = lax.top_k(-jnp.abs(d_hi), k)
-    Vs = tuple(jnp.take(w, idx, axis=-1) for w in Vx)
-    Ms = _project_x(Xx, Vs)
+    Ms = tuple(jnp.take(jnp.take(w, idx, axis=-1), idx, axis=-2)
+               for w in M_x)
     db = jnp.abs(jnp.diagonal(exp_hi(Ms), axis1=-2, axis2=-1))
     s = xprec._pow2_scale(jnp.max(db)[None])[0]
-    wb, Q = _block_eigh_f32(exp_hi(exp_scale_pow2(Ms, 1.0 / s)))
+    _, Q = _block_eigh_f32(exp_hi(exp_scale_pow2(Ms, 1.0 / s)))
+    Vs = tuple(jnp.take(w, idx, axis=-1) for w in Vx)
     Vs = ozaki_mm(Vs, (Q,), nwords=2, maxpq=_LADDER_MAXPQ)
     Vx = tuple(
         jnp.put_along_axis(w, jnp.broadcast_to(idx[None, :], ws.shape),
                            ws, axis=-1, inplace=False)
         for w, ws in zip(Vx, Vs))
-    d_hi = jnp.put_along_axis(d_hi, idx, wb * s, axis=-1, inplace=False)
-    return d_hi, Vx
+    # M <- Q~' M Q~ (Q~ = Q on the block columns, identity elsewhere)
+    Mc = ozaki_mm(tuple(jnp.take(w, idx, axis=-1) for w in M_x), (Q,),
+                  nwords=3, maxpq=_LADDER_MAXPQ)
+    M_x = tuple(
+        jnp.put_along_axis(w, jnp.broadcast_to(idx[None, :], mc.shape),
+                           mc, axis=-1, inplace=False)
+        for w, mc in zip(M_x, Mc))
+    Mr = ozaki_mm((Q.T,), tuple(jnp.take(w, idx, axis=-2) for w in M_x),
+                  nwords=3, maxpq=_LADDER_MAXPQ)
+    M_x = tuple(
+        jnp.put_along_axis(w, jnp.broadcast_to(idx[:, None], mr.shape),
+                           mr, axis=-2, inplace=False)
+        for w, mr in zip(M_x, Mr))
+    d_hi = jnp.diagonal(exp_hi(M_x), axis1=-2, axis2=-1)
+    return d_hi, Vx, M_x
 
 
 _N_SWEEPS = 1  # window sweeps after the deflation levels (a second sweep
 # measurably changes nothing: the first leaves only near-pair couplings,
 # which sweeps cannot remove and the coupling-aware solve absorbs)
-_N_FO = 2      # first-order polish rounds after the sweeps
+_N_FO = 2      # first-order polish rounds after the sweeps (with the
+# single-level schedule, one round leaves chi^2 parity marginal on
+# cutoff-heavy records; the near-pair residue bounds what more would buy)
 
 
 def _ladder_eigh_x(Xx, boot_Vx=None):
@@ -413,8 +441,8 @@ def _ladder_eigh_x(Xx, boot_Vx=None):
 
     ``boot_Vx``: eigenbasis of a NEARBY matrix (e.g. AtWA for
     X = AtWA + alpha R near a chi2 root) — skips the full-size f32 eigh
-    AND the first deflation level; the window sweeps absorb the top-mode
-    drift and the remaining levels re-resolve the deep spectrum fresh."""
+    and ALL deflation levels; the window sweep alone re-resolves the
+    alpha-step drift (validated from aR negligible to aR dominant)."""
     hi = exp_hi(Xx)
     if _is_x64(Xx):  # CPU: native f64 eigh is exact — no ladder needed
         w, V = jnp.linalg.eigh(hi)
@@ -428,14 +456,17 @@ def _ladder_eigh_x(Xx, boot_Vx=None):
     else:
         Vx = boot_Vx
         levels = _ladder_levels(n, boot=True)
-    d_hi = jnp.diagonal(exp_hi(_project_x(Xx, Vx)), axis1=-2, axis2=-1)
+    # the ONE full projection; levels and sweeps maintain it exactly
+    # through their rotations with skinny Ozaki updates
+    M_x = _project_x(Xx, Vx)
+    d_hi = jnp.diagonal(exp_hi(M_x), axis1=-2, axis2=-1)
     for k in levels:
-        d_hi, Vx = _level_x(Xx, Vx, d_hi, k)
+        d_hi, Vx, M_x = _level_x(Xx, Vx, d_hi, k, M_x)
     for _ in range(_N_SWEEPS):
-        d_hi, Vx = _window_sweep_x(Xx, Vx, d_hi)
-    for _ in range(_N_FO):
-        d_hi, Vx = _fo_polish_round_x(Xx, Vx)
-    Vx = _ns_orth_x(Vx)
+        d_hi, Vx, M_x = _window_sweep_x(Vx, d_hi, M_x)
+    for i in range(_N_FO):
+        d_hi, Vx = _fo_polish_round_x(Xx, Vx, M_x=M_x if i == 0 else None)
+    Vx = _ns_orth_x(Vx) if _N_FO == 0 else Vx
     M_x = _project_x(Xx, Vx)
     w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
     return w_x, Vx, M_x
