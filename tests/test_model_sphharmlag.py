@@ -174,3 +174,27 @@ def test_series_basis_impl_matches_table(small_config_text):
     for n in range(m_t.nbasis):
         sup = np.max(np.abs(At[:, n])) + 1e-300
         assert np.max(np.abs(At[:, n] - As[:, n])) < 1e-5 * sup, n
+
+
+def test_eval_tau_gauss_matches_quad(small_config_text):
+    """eval_tau's fixed-node 'gauss' mode agrees with the reference-faithful
+    adaptive-quad mode on a smooth profile (reference sphharmlag.py:241-259;
+    m != 0 entries vanish exactly because the azimuth integral is zero)."""
+    from volumetricinterp_tpu.config import Config
+    from volumetricinterp_tpu.models.sphharmlag import Model
+
+    reg = lambda z: np.exp(-0.5 * (z - 2.0) ** 2)
+    m_q = Model(Config.from_text(small_config_text))
+    m_g = Model(Config.from_text(small_config_text +
+                                 "\n[TPU]\nQUAD_MODE = gauss\n"))
+    tq = np.asarray(m_q.eval_tau(reg))
+    tg = np.asarray(m_g.eval_tau(reg))
+    assert tq.shape == tg.shape == (m_q.nbasis, 1)
+    scale = np.abs(tq).max()
+    assert scale > 0
+    assert np.allclose(tg, tq, atol=1e-6 * scale, rtol=1e-6)
+    # quirk parity: m != 0 rows are numerically ~0 in quad mode and exactly
+    # 0 in gauss mode
+    mvals = np.asarray(m_q._m)
+    assert np.all(np.abs(tq[mvals != 0]) < 1e-10 * scale)
+    assert np.all(tg[mvals != 0] == 0.0)

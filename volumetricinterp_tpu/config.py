@@ -42,6 +42,11 @@ class FitConfig:
     outputfilename: str = ""
     regularization_list: list = field(default_factory=list)
     regularization_method: str = "chi2"
+    # optional data-informed regularization target: "chapman,<nmax>,<hmax_km>,
+    # <scale_km>" pulls 0thorder-regularized fits toward a Chapman-layer
+    # profile (the reference's IRI hint, sphharmlag.py:186; see
+    # docs/ALGORITHM.md)
+    regularization_profile: str = ""
     errlim: list = field(default_factory=lambda: [1e10, 1e13])
     goodfitcode: list = field(default_factory=lambda: [1, 2, 3, 4])
     chi2lim: list = field(default_factory=lambda: [0.1, 10.0])
@@ -155,6 +160,8 @@ class Config:
             )
         if "REGULARIZATION_METHOD" in d:
             fit.regularization_method = d.get("REGULARIZATION_METHOD")
+        if "REGULARIZATION_PROFILE" in d:
+            fit.regularization_profile = d.get("REGULARIZATION_PROFILE")
         if "ERRLIM" in d:
             fit.errlim = _parse_float_list(d.get("ERRLIM"))
         if "GOODFITCODE" in d:

@@ -193,6 +193,48 @@ class Interpolate:
         self._reg_matrices_cache = reg_matricies
         return reg_matricies
 
+    def _reg_taus(self, names, nb):
+        """Optional data-informed regularization targets (tau vectors)
+        from [DEFAULT] REGULARIZATION_PROFILE.
+
+        "chapman,<nmax>,<hmax_km>,<scale_km>" builds a Chapman-layer
+        density profile n(z) = nmax exp(0.5 (1 - y - e^-y)),
+        y = (z - z0)/H in the model's scaled altitude z = 100 alt/RE, and
+        pulls every '0thorder'-regularized parameter toward it (penalty
+        alpha (C'Psi C - 2 tau'C), tau from Model.eval_tau).  The
+        reference hints at exactly this with IRI profiles
+        (sphharmlag.py:186) but never implements it.  Rows for other
+        regularization types are zero (no pull)."""
+        spec = self.config.fit.regularization_profile.strip()
+        if not spec or not names:
+            return None
+        kind, *params = [s.strip() for s in spec.split(",")]
+        if kind.lower() != "chapman":
+            raise ValueError(
+                f"unknown REGULARIZATION_PROFILE kind {kind!r} "
+                "(supported: chapman,<nmax>,<hmax_km>,<scale_km>)")
+        nmax, hmax_km, scale_km = (float(p) for p in params)
+        from .constants import RE
+        z0 = 100.0 * hmax_km * 1000.0 / RE
+        hz = 100.0 * scale_km * 1000.0 / RE
+
+        def profile(z):
+            y = (np.asarray(z) - z0) / hz
+            return nmax * np.exp(0.5 * (1.0 - y - np.exp(-y)))
+
+        if "0thorder" not in names:
+            logger.warning(
+                "REGULARIZATION_PROFILE is set but '0thorder' is not in "
+                "REGULARIZATION_LIST; the profile pull only applies to "
+                "0thorder regularization and will be ignored.")
+            return None
+        tau_vec = np.asarray(self.model.eval_tau(profile)).reshape(-1)
+        taus = np.zeros((len(names), nb))
+        for i, r in enumerate(names):
+            if r == "0thorder":
+                taus[i] = tau_vec
+        return taus
+
     def calc_coeffs(self, starttime=None, endtime=None, resume=False):
         """Fit every record in the file (optionally a time window), batched.
 
@@ -214,6 +256,7 @@ class Interpolate:
                 if names
                 else jnp.zeros((0, nb, nb))
             )
+            reg_taus = self._reg_taus(names, nb)
 
         with self.timer.phase("read_datafile"):
             utime, lat, lon, alt, value, error = self.read_datafile(self.filename)
@@ -317,6 +360,7 @@ class Interpolate:
                         value[s:e], error[s:e], np.asarray(A), reg_mats,
                         mesh, method=method, manual_params=mp,
                         regparam_mode=self.config.tpu.regparam_mode,
+                        reg_taus=reg_taus,
                     )
                     return C, dC[:, iu[0], iu[1]], c2, rp
                 if mesh is not None:
@@ -326,6 +370,7 @@ class Interpolate:
                         value[s:e], error[s:e], A_np, reg_mats, mesh,
                         method=method, manual_params=mp,
                         regparam_mode=self.config.tpu.regparam_mode,
+                        reg_taus=reg_taus,
                     )
                 else:
                     C, dC, c2, rp = fit_records(
@@ -336,6 +381,7 @@ class Interpolate:
                         method=method,
                         manual_params=mp,
                         regparam_mode=self.config.tpu.regparam_mode,
+                        reg_taus=reg_taus,
                     )
                 return C, _pack_tri(dC), c2, rp
 

@@ -589,21 +589,63 @@ class Model:
 
     def eval_tau(self, reg_func):
         """Tau vector for data-informed 0th-order regularization
-        (reference sphharmlag.py:241-259; unused by the default pipeline)."""
+        (reference sphharmlag.py:241-259; unused by the default pipeline).
+
+        'quad' mode reproduces the reference's adaptive
+        scipy.integrate.quad per-integral values; 'gauss' mode evaluates
+        the same separable integrals on fixed Gauss-Laguerre /
+        Gauss-Legendre nodes (table-driven, no adaptive quadrature) with
+        the azimuth integral in closed form (int_0^2pi of the cos/sin
+        harmonic is 2pi for m = 0 and exactly 0 otherwise)."""
         import scipy.integrate
         import scipy.special as sp
 
+        if self._quad_mode == "quad":
+            tau = np.zeros((self.nbasis, 1))
+            for n in range(self.nbasis):
+                k, l, m = int(self._k[n]), int(self._l[n]), int(self._m[n])
+                v = float(self._nu[n])
+                z_int = lambda zz: (
+                    np.exp(-0.5 * zz) * sp.eval_laguerre(k, zz)
+                    * reg_func(zz) * zz**2
+                )
+                t_int = lambda tt: sp.lpmv(m, v, np.cos(tt)) * np.sin(tt)
+                p_int = lambda pp: self._az_host(v, m, pp)
+                Iz = scipy.integrate.quad(z_int, 0.0, self.max_z_int)
+                It = scipy.integrate.quad(t_int, 0.0, self.cap_lim)
+                Ip = scipy.integrate.quad(p_int, 0.0, 2.0 * np.pi)
+                tau[n] = Iz[0] * It[0] * Ip[0]
+            return jnp.asarray(tau)
+
+        # gauss mode: z-integral on Gauss-Laguerre (weight e^{-z} folded,
+        # integrand carries the residual e^{+z/2}) or mapped Legendre for
+        # finite MAX_Z_INT; theta on Gauss-Legendre over [0, cap_lim]
+        K = self.maxk
+        if math.isinf(self.max_z_int):
+            # generous node count: reg_func need not be polynomial-like
+            zq, wz = gauss_laguerre(8 * K + 48)
+            fz = np.exp(0.5 * zq) * reg_func(zq) * zq**2
+        else:
+            xq, wl = np.polynomial.legendre.leggauss(8 * K + 32)
+            zq = 0.5 * self.max_z_int * (xq + 1.0)
+            wz = 0.5 * self.max_z_int * wl * np.exp(-zq)
+            fz = np.exp(0.5 * zq) * reg_func(zq) * zq**2
+        lagv = np.stack(
+            [np.polynomial.laguerre.lagval(zq, np.eye(K)[k]) for k in range(K)]
+        )
+        iz = lagv @ (wz * fz)  # [K]
+
+        tq, wt = np.polynomial.legendre.leggauss(96)
+        tq = 0.5 * self.cap_lim * (tq + 1.0)
+        wt = 0.5 * self.cap_lim * wt
         tau = np.zeros((self.nbasis, 1))
         for n in range(self.nbasis):
-            k, l, m = int(self._k[n]), int(self._l[n]), int(self._m[n])
+            k, m = int(self._k[n]), int(self._m[n])
+            if m != 0:
+                continue  # azimuth integral vanishes exactly
             v = float(self._nu[n])
-            z_int = lambda zz: (
-                np.exp(-0.5 * zz) * sp.eval_laguerre(k, zz) * reg_func(zz) * zz**2
-            )
-            t_int = lambda tt: sp.lpmv(m, v, np.cos(tt)) * np.sin(tt)
-            p_int = lambda pp: self._az_host(v, m, pp)
-            Iz = scipy.integrate.quad(z_int, 0.0, self.max_z_int)
-            It = scipy.integrate.quad(t_int, 0.0, self.cap_lim)
-            Ip = scipy.integrate.quad(p_int, 0.0, 2.0 * np.pi)
-            tau[n] = Iz[0] * It[0] * Ip[0]
+            it = float(np.sum(wt * sp.lpmv(m, v, np.cos(tq)) * np.sin(tq)))
+            # closed-form azimuth integral: az(nu, 0, .) is the constant
+            # normalization factor, so int_0^2pi = 2 pi az(nu, 0, 0)
+            tau[n] = iz[k] * it * 2.0 * np.pi * float(self._az_host(v, 0, 0.0))
         return jnp.asarray(tau)

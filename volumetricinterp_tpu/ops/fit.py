@@ -47,7 +47,8 @@ def record_stats(values, errors, A):
 
 
 def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
-                     manual_log_params=None, regparam_mode: str = "exact"):
+                     manual_log_params=None, regparam_mode: str = "exact",
+                     reg_taus_x=None):
     """Fit one record from expansion sufficient statistics (chi2/manual
     methods; GCV needs per-point quantities, see fit_one_record_x).
 
@@ -73,7 +74,9 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
         }[regparam_mode]
         log_alphas = jnp.stack([
             search(AtWA_x, AtWb_x, btWb_x, N,
-                   tuple(w[i] for w in reg_mats_x))
+                   tuple(w[i] for w in reg_mats_x),
+                   tau_x=(None if reg_taus_x is None
+                          else tuple(w[i] for w in reg_taus_x)))
             for i in range(nreg)
         ])
     else:
@@ -81,7 +84,7 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
                          "use fit_one_record_x")
 
     C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x,
-                                log_alphas)
+                                log_alphas, reg_taus_x=reg_taus_x)
 
     # NaN-fill failed records (interpolate.py:557-563)
     bad = jnp.any(jnp.isnan(log_alphas)) if nreg > 0 else jnp.asarray(False)
@@ -93,7 +96,8 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
 
 
 def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
-                     manual_log_params=None, regparam_mode: str = "exact"):
+                     manual_log_params=None, regparam_mode: str = "exact",
+                     reg_taus_x=None):
     """Fit a single record from expansion inputs.  b_x/W_x: [npoints]
     expansions (pre-masked on host); mask: [npoints]; A_x: [npoints,
     nbasis] expansion; reg_mats_x: [nreg, nbasis, nbasis] expansion.
@@ -128,17 +132,19 @@ def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
         return C, dC, chi2, log_alphas
 
     return fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method,
-                            manual_log_params, regparam_mode)
+                            manual_log_params, regparam_mode,
+                            reg_taus_x=reg_taus_x)
 
 
 @partial(jax.jit, static_argnames=("method", "regparam_mode"))
 def _fit_records_core(b_x, W_x, mask, A_x, reg_mats_x, method: str = "chi2",
-                      manual_log_params=None, regparam_mode: str = "exact"):
+                      manual_log_params=None, regparam_mode: str = "exact",
+                      reg_taus_x=None):
     """Vmapped batched fit over expansion inputs (leading record axis on
     b_x/W_x/mask)."""
     f = partial(fit_one_record_x, A_x=A_x, reg_mats_x=reg_mats_x,
                 method=method, manual_log_params=manual_log_params,
-                regparam_mode=regparam_mode)
+                regparam_mode=regparam_mode, reg_taus_x=reg_taus_x)
     return jax.vmap(f, in_axes=(0, 0, 0))(b_x, W_x, mask)
 
 
@@ -158,17 +164,23 @@ def prepare_fit_inputs(values, errors, A, reg_mats):
     W = np.where(mask, W, 0.0)
     on_tpu = jax.default_backend() == "tpu"
 
-    def split(x):
+    def split(x, nw=3):
         if on_tpu:
-            return tuple(map(jnp.asarray, xprec.split_f64_host(x, 3)))
+            return tuple(map(jnp.asarray, xprec.split_f64_host(x, nw)))
         return (jnp.asarray(x),)
 
-    return (split(b), split(W), jnp.asarray(mask.astype(np.float32)),
-            split(A), split(reg_mats))
+    # A/b/W travel as TWO words: their 2^-48 elementwise representation
+    # error perturbs the statistics 100x less than the reference's own
+    # f64 accumulation noise (see ops/solve.suff_stats_x); the
+    # regularization matrices stay 3-word (cheap, and they enter X
+    # formation directly)
+    return (split(b, 2), split(W, 2), jnp.asarray(mask.astype(np.float32)),
+            split(A, 2), split(reg_mats, 3))
 
 
 def fit_records(values, errors, A, reg_mats, method: str = "chi2",
-                manual_params=None, regparam_mode: str = "exact"):
+                manual_params=None, regparam_mode: str = "exact",
+                reg_taus=None):
     """Batched fit of a record block (host entry point).
 
     values/errors: [nrec, npoints]; A: [npoints, nbasis]; reg_mats:
@@ -178,9 +190,22 @@ def fit_records(values, errors, A, reg_mats, method: str = "chi2",
     Returns (C [nrec, nb], dC [nrec, nb, nb], chi2 [nrec],
     reg_params [nrec, nreg]) — reg_params in the reference's RAW alpha
     units (converted on host from the device-side log10 representation).
+
+    reg_taus: optional [nreg, nbasis] tau vectors for DATA-INFORMED
+    regularization (penalty alpha (C'RC - 2 tau'C), a pull toward the
+    target profile with tau = R @ C_target; the reference only hints at
+    this — sphharmlag.py:186,241-259 — and never implements it).
     """
     b_x, W_x, mask, A_x, reg_mats_x = prepare_fit_inputs(
         values, errors, A, reg_mats)
+    reg_taus_x = None
+    if reg_taus is not None:
+        on_tpu = jax.default_backend() == "tpu"
+        rt = np.asarray(reg_taus, np.float64)
+        if on_tpu:
+            reg_taus_x = tuple(map(jnp.asarray, xprec.split_f64_host(rt, 3)))
+        else:
+            reg_taus_x = (jnp.asarray(rt),)
     mlp = None
     if manual_params is not None:
         mp = np.asarray(manual_params, np.float64)
@@ -188,7 +213,8 @@ def fit_records(values, errors, A, reg_mats, method: str = "chi2",
             mlp = jnp.asarray(np.log10(mp))
     C, dC, chi2, log_alphas = _fit_records_core(
         b_x, W_x, mask, A_x, reg_mats_x, method=method,
-        manual_log_params=mlp, regparam_mode=regparam_mode)
+        manual_log_params=mlp, regparam_mode=regparam_mode,
+        reg_taus_x=reg_taus_x)
     la = np.asarray(log_alphas, np.float64)
     with np.errstate(over="ignore"):
         rp = 10.0 ** la  # -inf -> 0.0 (too smooth), NaN -> NaN

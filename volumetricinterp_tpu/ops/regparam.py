@@ -47,7 +47,8 @@ from jax import lax
 from .solve import (chi2_from_eig_x, normalized_eigh_x,
                     normalized_eigh_boot_x, exp_add, exp_mul_split,
                     exp_hi, pow10_split, sym_pinv_apply, whiten_pencil,
-                    whitened_chi2, whitened_chi2_split)
+                    whitened_chi2, whitened_chi2_split,
+                    whitened_chi2_tau_split)
 from .xprec import ozaki_mm
 
 # reference constants (interpolate.py:173, 199-202)
@@ -67,7 +68,8 @@ N_INNER_ROUNDS = 5  # bracket width 100 -> 100/65^5 ~ 9e-8 decades
 DEFECT_MODEL_RANGE = 0.5  # decades: linear D-model trust region around r0
 
 
-def _whitened_root_offset(lam, u, btWb, nu, d, r0=None, slope=None):
+def _whitened_root_offset(lam, u, btWb, nu, d, r0=None, slope=None,
+                          utau=None):
     """First-crossing root of the FAST (jittered-whitening) objective plus
     a local linear model of the cutoff defect,
 
@@ -82,7 +84,10 @@ def _whitened_root_offset(lam, u, btWb, nu, d, r0=None, slope=None):
 
     def f_of(a_log):
         m, k = pow10_split(a_log)
-        f = whitened_chi2_split(m, k, lam, u, btWb) + d - nu
+        if utau is None:
+            f = whitened_chi2_split(m, k, lam, u, btWb) + d - nu
+        else:
+            f = whitened_chi2_tau_split(m, k, lam, u, utau, btWb) + d - nu
         if slope is not None:
             f = f + slope * jnp.clip(a_log - r0, -DEFECT_MODEL_RANGE,
                                      DEFECT_MODEL_RANGE)
@@ -123,7 +128,7 @@ def _ladder_outcome(chi2_floor, chi2_one, N):
     return nus[s], too_smooth[s], jnp.any(event)
 
 
-def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x):
+def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
     """chi2-nu regularization parameter, DEFECT-CORRECTED exact search
     (the default 'exact' mode).  Inputs are EXPANSIONS (ops/xprec.py).
 
@@ -151,6 +156,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x):
                                  eig_AtWA=(exp_hi(wA_x) * sA,
                                            exp_hi(VA_x)))
     u = Q.T @ (Binv @ exp_hi(AtWb_x))
+    utau = None if tau_x is None else Q.T @ (Binv @ exp_hi(tau_x))
     btWb_hi = btWb_x[0]
     for wd in btWb_x[1:]:
         btWb_hi = btWb_hi + wd
@@ -164,11 +170,13 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x):
         m, k = pow10_split(a_log)
         aR_x = exp_mul_split(R_x, m, k)
         Xx = exp_add(AtWA_x, aR_x)
+        atau_x = None if tau_x is None else exp_mul_split(tau_x, m, k)
         if boot:
             w_x, Vx, s, M_x = normalized_eigh_boot_x(Xx, VA_x)
         else:
             w_x, Vx, s, M_x = normalized_eigh_x(Xx)
-        return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x)
+        return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x,
+                               atau_x=atau_x)
 
     # alpha = 1 is R-dominated (far from AtWA's basis): fresh ladder
     chi2_one = exact_eval(jnp.asarray(0.0, dt), boot=False)
@@ -176,9 +184,14 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x):
 
     # defect-corrected iteration, seeded at the root of chi2_fast + D0 =
     # nu with D0 the PLATEAU defect chi2_floor - chi2_fast(1e-100)
-    d0 = chi2_floor - whitened_chi2_split(
-        *pow10_split(jnp.asarray(-100.0, dt)), lam, u, btWb_hi)
-    r = _whitened_root_offset(lam, u, btWb_hi, nu, d0)
+    if tau_x is None:
+        fast_at = lambda a_log: whitened_chi2_split(
+            *pow10_split(jnp.asarray(a_log, dt)), lam, u, btWb_hi)
+    else:
+        fast_at = lambda a_log: whitened_chi2_tau_split(
+            *pow10_split(jnp.asarray(a_log, dt)), lam, u, utau, btWb_hi)
+    d0 = chi2_floor - fast_at(-100.0)
+    r = _whitened_root_offset(lam, u, btWb_hi, nu, d0, utau=utau)
     r = jnp.clip(jnp.where(jnp.isnan(r), -50.0, r), ALPHA_MIN + 0.1, -0.1)
     lo = jnp.asarray(ALPHA_MIN, dt)   # f(lo) < 0 for active records
     hi = jnp.asarray(0.0, dt)         # f(hi) >= 0 for active records
@@ -192,8 +205,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x):
         below = f_r < 0.0
         lo = jnp.where(below, r, lo)
         hi = jnp.where(below, hi, r)
-        m, k = pow10_split(r)
-        d = c_r - whitened_chi2_split(m, k, lam, u, btWb_hi)
+        d = c_r - fast_at(r)
         dr = r - r_prev
         slope = jnp.where(
             jnp.isfinite(d_prev) & (jnp.abs(dr) > 1e-6),
@@ -201,7 +213,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x):
             0.0,
         )
         r_new = _whitened_root_offset(lam, u, btWb_hi, nu, d, r0=r,
-                                      slope=slope)
+                                      slope=slope, utau=utau)
         # SAFEGUARDED step: clip the model prediction into the central
         # half of the exact bracket, so every iteration shrinks the
         # bracket by >= 25% even when the defect model keeps predicting
@@ -227,7 +239,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x):
     return root
 
 
-def chi2_reg_param_grid(AtWA_x, AtWb_x, btWb_x, N, R_x):
+def chi2_reg_param_grid(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
     """chi2-nu regularization parameter via the FULL exact grid scan
     ('exact_grid' mode — the receipts baseline for the defect-corrected
     default).  Every chi^2(alpha) evaluation is a fresh-ladder cutoff
@@ -243,8 +255,10 @@ def chi2_reg_param_grid(AtWA_x, AtWb_x, btWb_x, N, R_x):
         m, k = pow10_split(a_log)
         aR_x = exp_mul_split(R_x, m, k)
         Xx = exp_add(AtWA_x, aR_x)
+        atau_x = None if tau_x is None else exp_mul_split(tau_x, m, k)
         w_x, Vx, s, M_x = normalized_eigh_x(Xx)
-        return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x)
+        return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x,
+                               atau_x=atau_x)
 
     chi2_batch = jax.vmap(chi2_of_logalpha)
 
@@ -292,7 +306,7 @@ def chi2_reg_param_grid(AtWA_x, AtWb_x, btWb_x, N, R_x):
     return root
 
 
-def chi2_reg_param_fast(AtWA_x, AtWb_x, btWb_x, N, R_x):
+def chi2_reg_param_fast(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
     """Fast-mode chi2-nu search: one pencil whitening per record, then
     every chi^2(alpha) evaluation is O(nbasis) (ops/solve.whitened_chi2)
     instead of an eigendecomposition.
@@ -307,13 +321,16 @@ def chi2_reg_param_fast(AtWA_x, AtWb_x, btWb_x, N, R_x):
     dt = btWb_x[0].dtype
     lam, Q, Binv = whiten_pencil(exp_hi(AtWA_x), exp_hi(R_x))
     u = Q.T @ (Binv @ exp_hi(AtWb_x))
+    utau = None if tau_x is None else Q.T @ (Binv @ exp_hi(tau_x))
     btWb_hi = btWb_x[0]
     for wd in btWb_x[1:]:
         btWb_hi = btWb_hi + wd
 
     def chi2_of_logalpha(a_log):
         m, k = pow10_split(a_log)
-        return whitened_chi2_split(m, k, lam, u, btWb_hi)
+        if utau is None:
+            return whitened_chi2_split(m, k, lam, u, btWb_hi)
+        return whitened_chi2_tau_split(m, k, lam, u, utau, btWb_hi)
 
     n_grid = int(-ALPHA_MIN) + 1
     alphas = -jnp.arange(float(n_grid), dtype=dt)

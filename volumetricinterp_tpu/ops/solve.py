@@ -112,6 +112,14 @@ def suff_stats(A, b, W, mask):
     return AtWA, AtWb, btWb, N
 
 
+_STATS_MAXPQ = 5  # Ozaki chunk-product budget for the sufficient
+# statistics: truncation floor 2^-56 ~ 1.4e-17 of the operand scales, 16x
+# below the gelsd cutoff — and far below the reference's OWN accumulation
+# noise (f64 summation over npoints ~ 2400 rounds AtWA at ~n*eps64 ~
+# 5e-13 of scale), so the deep spectrum here is BETTER determined than
+# the reference's
+
+
 def suff_stats_x(A_x, b_x, W_x, mask):
     """Expansion sufficient statistics: exact-grade A'WA / A'Wb / b'Wb.
 
@@ -119,15 +127,22 @@ def suff_stats_x(A_x, b_x, W_x, mask):
     [npoints] expansions; mask: [npoints] f32.  The reference computes
     these einsums in f64 (interpolate.py:456-458); on TPU the native
     "f64" matmul is bf16-grade, which alone perturbs AtWA's deep spectrum
-    by ~1e-3 and breaks the gelsd-cutoff solve, hence ozaki_mm_long."""
+    by ~1e-3 and breaks the gelsd-cutoff solve, hence ozaki_mm_long.
+
+    TWO-WORD operands suffice (prepare_fit_inputs splits A/b/W to 2
+    words): the 2^-48 elementwise representation error perturbs AtWA by
+    ~3.6e-15 of scale — 100x BELOW the f64 accumulation noise the
+    reference's own einsum carries at npoints ~ 2400."""
     Wm_x = tuple(jnp.where(mask > 0, w, 0.0) for w in W_x)
     bm_x = tuple(jnp.where(mask > 0, w, 0.0) for w in b_x)
     # Aw = A * W (elementwise, broadcast W over columns)
-    Aw_x = exp_mul(A_x, tuple(w[..., None] for w in Wm_x))
+    Aw_x = exp_mul(A_x, tuple(w[..., None] for w in Wm_x),
+                   nwords=min(2, len(A_x) + len(W_x) - 1))
     At_x = tuple(jnp.swapaxes(w, -1, -2) for w in A_x)
-    AtWA_x = ozaki_mm_long(At_x, Aw_x)
+    AtWA_x = ozaki_mm_long(At_x, Aw_x, maxpq=_STATS_MAXPQ)
     Wb_x = exp_mul(Wm_x, bm_x)
-    AtWb_x = ozaki_mm_long(At_x, tuple(w[..., None] for w in Wb_x))
+    AtWb_x = ozaki_mm_long(At_x, tuple(w[..., None] for w in Wb_x),
+                           maxpq=_STATS_MAXPQ)
     AtWb_x = tuple(w[..., 0] for w in AtWb_x)
     btWb_x = xprec.exp_dot(Wb_x, bm_x)
     N = jnp.sum(mask)
@@ -168,19 +183,29 @@ def suff_stats_x(A_x, b_x, W_x, mask):
 def _ladder_levels(n, boot=False):
     """Deflation-block sizes at basis size n.
 
-    ONE level of size 5n/6 (at n=144: 120) suffices for a fresh ladder:
-    it re-grades the whole sub-noise-floor cluster the full-size f32 eigh
-    leaves, after which the sorted window sweep IS the deep ladder — each
-    descending window re-eighs at its own scale, and the window overlap
-    carries misplaced modes all the way down in a single sweep.
-    Measured (QDWH noise hook, tests/test_ladder.py): adding deeper
-    levels (96, 64, 32) changes chi^2 parity by nothing at 3x the cost.
-    Bootstrapped ladders (whose starting basis is already graded) need NO
-    levels — the sweep absorbs the alpha-step drift at every alpha from
-    aR negligible to aR dominant."""
+    Fresh ladders use THREE levels (fractions 0.68/0.59/0.49; at n=144:
+    98, 85, 71 — measured: the two wider levels 126/113 add cost and
+    slightly WORSEN real-record chi2 parity; the window sweep covers
+    their range).  Each level re-eighs the k smallest modes'
+    exact block at its own scale, peeling ~4.5 decades of spectrum IN
+    VALUE per level regardless of how many modes live per decade — which
+    matters because real AMISR-basis normal matrices span 40+ decades at
+    only ~3 modes/decade (the signed-m column suppression, PARITY_NOTES
+    #2), where position-based windows alone (a 48-wide window covers 14
+    decades there) cannot grade the spectrum.  The schedule's only
+    constraint is that each level's block CONTAINS the still-unresolved
+    cluster: at >=4.5 decades/level, five levels reach the gelsd cutoff
+    (16 decades down) on both dense (9 modes/decade) and sparse (3/decade)
+    spectra with margin.
+
+    Bootstrapped ladders (whose starting basis is already graded by a
+    fresh ladder on the nearby AtWA) need NO levels — the window sweep
+    absorbs the alpha-step drift at every alpha from aR negligible to aR
+    dominant."""
     if boot:
         return ()
-    return (max(1, min(-(-5 * n // 6), n)),)
+    return tuple(max(1, min(-(-n * num // 1000), n))
+                 for num in (680, 585, 490))
 
 
 _EIGH_EMULATED_RESID = 0.0  # test hook: emulate TPU QDWH quality on CPU
@@ -340,17 +365,19 @@ _FO_GATE = 0.1  # first-order corrections only below this |coupling/gap|
 def _fo_polish_round_x(Xx, Vx, M_x=None):
     """One gated first-order polish round against the exact projection.
 
-    Runs AFTER the window sweeps, which is what makes it convergent: the
-    sweeps leave all mixings <= ~eps_eigh * 10^2.7 ~ 1e-2 and Rayleigh
-    estimates correct to ~1e-4 relative, so gap signs are reliable for
-    every pair the gate admits — a pair whose gap is smaller than its
-    estimate error has |E| = |M_ij / (d_j - d_i)| >> gate and is skipped
-    (harmless: near-equal partners contaminate Rayleigh quotients only
-    at their own scale).  Each round contracts admitted mixings
-    quadratically (M is re-projected exactly); eigh-based rotations
-    cannot do this — their backward error re-injects ~eps_eigh mixing per
-    application — which is why diag(M) floors at ~1e-4 relative without
-    these rounds.
+    Kills the FAR POLLUTION every mode carries — overlap with modes
+    decades above, injected by each eigh's backward error and spread by
+    every block rotation — contracting it quadratically across rounds
+    because M is re-projected exactly each time (measured on a real
+    record: 2e-14 -> 3e-17 absolute Rayleigh contamination in three
+    rounds).  Corrections are gated on |E| < 0.1 AND a >= ~3x value
+    separation: for closer pairs the Rayleigh-estimate error can flip the
+    gap sign and the correction amplifies instead; such near-pairs are
+    left to the block eighs (grading levels), which rotate them exactly
+    at their own scale.  Rotation-like machinery must NOT run inside
+    these rounds: an O(1) rotation re-mixes cleaned modes with dirty ones
+    and misdirects the simultaneously-applied first-order terms
+    (measured: keep-counts blow to n).
 
     Returns (d_hi, Vx)."""
     if M_x is None:
@@ -360,15 +387,9 @@ def _fo_polish_round_x(Xx, Vx, M_x=None):
     tiny = jnp.finfo(M.dtype).tiny
     eye = jnp.eye(n, dtype=bool)
     d = jnp.diagonal(M, axis1=-2, axis2=-1)
+    ad = jnp.abs(d)
     den = d[..., None, :] - d[..., :, None]  # den[i,j] = d_j - d_i
     E = jnp.where(eye, 0.0, M) / jnp.where(jnp.abs(den) > tiny, den, tiny)
-    # den-reliability: only correct pairs separated by >= ~3x in value —
-    # for closer pairs the Rayleigh-estimate error can flip the gap sign
-    # and the "correction" amplifies instead (measured: non-contracting
-    # churn at the deep end).  Skipped near-pairs are benign: mutual
-    # contamination is coupling^2 * (lambda_j / lambda_i) <= 3 coupling^2,
-    # within the reference's own keep-flip staircase noise.
-    ad = jnp.abs(d)
     reliable = jnp.abs(den) > 0.5 * (ad[..., None, :] + ad[..., :, None])
     DEV = jnp.where((jnp.abs(E) < _FO_GATE) & reliable & ~eye, E, 0.0)
     Vx = exp_add(Vx, ozaki_mm(Vx, (DEV,), nwords=2, maxpq=_LADDER_MAXPQ),
@@ -416,12 +437,9 @@ def _level_x(Xx, Vx, d_hi, k, M_x):
     return d_hi, Vx, M_x
 
 
-_N_SWEEPS = 1  # window sweeps after the deflation levels (a second sweep
-# measurably changes nothing: the first leaves only near-pair couplings,
-# which sweeps cannot remove and the coupling-aware solve absorbs)
-_N_FO = 2      # first-order polish rounds after the sweeps (with the
-# single-level schedule, one round leaves chi^2 parity marginal on
-# cutoff-heavy records; the near-pair residue bounds what more would buy)
+_N_SWEEPS = 1  # window sweeps after the deflation levels
+_N_FO = 2      # polish rounds per clean phase (before and after the
+# cutoff-zone grading level)
 
 
 def _ladder_eigh_x(Xx, boot_Vx=None):
@@ -464,9 +482,33 @@ def _ladder_eigh_x(Xx, boot_Vx=None):
         d_hi, Vx, M_x = _level_x(Xx, Vx, d_hi, k, M_x)
     for _ in range(_N_SWEEPS):
         d_hi, Vx, M_x = _window_sweep_x(Vx, d_hi, M_x)
+    # CLEAN, then GRADE, then touch up.  The polish rounds first kill the
+    # far-pollution every mode carries (overlap with modes decades above,
+    # injected by every eigh's backward error and spread by every block
+    # rotation) — fo contracts it quadratically, but ONLY while no O(1)
+    # rotation re-mixes cleaned modes with dirty ones.  The cutoff-zone
+    # level (half the basis, re-eighed at its own scale, floor ~2e-17)
+    # then separates the dense near-cutoff wall real AMISR bases have
+    # (~50 modes within two decades of eps64 * |w|max) from CLEAN
+    # members, so its rotations no longer redistribute pollution.
+    # Measured on real records: grade-then-clean leaves keep ~30 over
+    # truth and chi2 off 10-50%; clean-then-grade converges to the
+    # reference's own retention-ambiguity envelope (PARITY_NOTES #8: the
+    # wall sits at the reference's f64 accumulation noise, so its
+    # retention is BLAS-order-arbitrary there too).
     for i in range(_N_FO):
         d_hi, Vx = _fo_polish_round_x(Xx, Vx, M_x=M_x if i == 0 else None)
-    Vx = _ns_orth_x(Vx) if _N_FO == 0 else Vx
+    M_x = _project_x(Xx, Vx)
+    d_hi, Vx, M_x = _level_x(Xx, Vx, d_hi, max(1, n // 2), M_x)
+    for i in range(_N_FO):
+        d_hi, Vx = _fo_polish_round_x(Xx, Vx, M_x=M_x if i == 0 else None)
+    # second, FINER grading level: the n/2 block's eigh floor over a
+    # dense near-cutoff wall still leaves ~0.1 wall-internal mixing
+    # (backward error / wall gaps); a quarter-size block re-eighs the
+    # wall at ~60x finer scale on now-clean members
+    M_x = _project_x(Xx, Vx)
+    d_hi, Vx, M_x = _level_x(Xx, Vx, d_hi, max(1, n // 4), M_x)
+    d_hi, Vx = _fo_polish_round_x(Xx, Vx, M_x=M_x)
     M_x = _project_x(Xx, Vx)
     w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
     return w_x, Vx, M_x
@@ -596,7 +638,8 @@ def _keep_solve_x(w_x, u_x, M_x, keep, n_refine=2):
     return tuple(jnp.where(keep, z, 0.0) for z in z_x)
 
 
-def chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=None):
+def chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=None,
+                    atau_x=None):
     """Reference-cutoff chi^2 from ladder eigenpairs of X/s.
 
     Uses the cancellation-free identity (V orthonormal, u = V'AtWb,
@@ -613,23 +656,35 @@ def chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=None):
 
     ``aR_x``: expansion of alpha*R (the SAME regularization term inside
     X), or None for alpha = 0.  ``s``: the normalization scale of the
-    eigenpairs (w_x in X/s units)."""
-    u_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in AtWb_x), nwords=2)
-    u_x = tuple(w[..., 0] for w in u_x)
+    eigenpairs (w_x in X/s units).  ``atau_x``: optional expansion of
+    alpha*tau for data-informed regularization (rhs becomes AtWb +
+    alpha tau; see final_solve_x)."""
+    ub_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in AtWb_x), nwords=2)
+    ub_x = tuple(w[..., 0] for w in ub_x)
+    if atau_x is None:
+        u_x = ub_x
+    else:
+        rhs_x = exp_add(AtWb_x, atau_x)
+        u_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in rhs_x),
+                       nwords=2)
+        u_x = tuple(w[..., 0] for w in u_x)
     aw = jnp.abs(exp_hi(w_x))
     keep = aw > EPS64 * jnp.max(aw)
     z_x = _keep_solve_x(w_x, u_x, M_x, keep)
-    S_x = xprec.exp_dot(u_x, z_x, nwords=2)
+    S_x = xprec.exp_dot(ub_x, z_x, nwords=2)
     S_x = exp_scale_pow2(S_x, 1.0 / s)
     diff = exp_add(btWb_x, exp_neg(S_x), nwords=2)
     chi2 = diff[0]
     for wd in diff[1:]:
         chi2 = chi2 + wd
-    if aR_x is not None:
+    if aR_x is not None or atau_x is not None:
         C = exp_hi(ozaki_mm(Vx, tuple(z[..., None] for z in z_x),
                             nwords=1))[..., 0] / s
-        t = exp_hi(ozaki_mm(aR_x, (C[..., None],), nwords=1))[..., 0]
-        chi2 = chi2 - C @ t
+        if atau_x is not None:
+            chi2 = chi2 + C @ exp_hi(atau_x)
+        if aR_x is not None:
+            t = exp_hi(ozaki_mm(aR_x, (C[..., None],), nwords=1))[..., 0]
+            chi2 = chi2 - C @ t
     return chi2
 
 
@@ -642,7 +697,8 @@ def cutoff_chi2_x(m, k, AtWA_x, AtWb_x, btWb_x, R_x):
     return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x)
 
 
-def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params):
+def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params,
+                  reg_taus_x=None):
     """Coefficients, covariance and chi^2 of one record's regularized fit
     (interpolate.py:432-469 eval_C with calccov=True, plus the chi^2 of
     interpolate.py:569), from expansion sufficient statistics.
@@ -655,19 +711,31 @@ def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params):
     reg_mats_x: expansion with leading [nreg, ...] axis; reg_params:
     [nreg] LOG10 alphas (raw alphas live down at 1e-50, far below f32
     range; -inf encodes alpha = 0).
+
+    reg_taus_x: optional [nreg, nbasis] expansion of tau vectors for
+    DATA-INFORMED regularization (the reference's IRI hint,
+    sphharmlag.py:186,241-259): penalty alpha (C'RC - 2 tau'C), i.e. a
+    pull toward the target profile with tau = R C_target.  The normal
+    equations become (AtWA + sum alpha R) C = AtWb + sum alpha tau; the
+    DATA chi^2 reported (and searched against nu) keeps its meaning.
     """
     nreg = reg_mats_x[0].shape[0]
     Xx = AtWA_x
+    rhs_x = AtWb_x
     aR_sum = None
+    ataus = []  # (m, k, tau_i) splits for the chi2 correction terms
     for i in range(nreg):
         R_i = tuple(wd[i] for wd in reg_mats_x)
         m, k = pow10_split(reg_params[i])
         aR_i = exp_mul_split(R_i, m, k)
         aR_sum = aR_i if aR_sum is None else exp_add(aR_sum, aR_i)
         Xx = exp_add(Xx, aR_i)
+        if reg_taus_x is not None:
+            tau_i = tuple(wd[i] for wd in reg_taus_x)
+            rhs_x = exp_add(rhs_x, exp_mul_split(tau_i, m, k))
     w_x, Vx, s, M_x = normalized_eigh_x(Xx)
     n = w_x[0].shape[-1]
-    u_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in AtWb_x), nwords=2)
+    u_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in rhs_x), nwords=2)
     u_x = tuple(w[..., 0] for w in u_x)
     w_hi = exp_hi(w_x)
     aw = jnp.abs(w_hi)
@@ -686,13 +754,25 @@ def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params):
     Hmid = (inv_w_H[:, None] * G) * inv_w_H[None, :]
     dC = (V @ Hmid @ V.T) / (s * s)
     # chi^2 via the cancellation-free identity, expansion-grade through
-    # the btWb - S cancellation
-    S_x = xprec.exp_dot(u_x, z_x, nwords=2)
+    # the btWb - S cancellation: chi2 = btWb - z'u_b/s + sum_i alpha_i
+    # tau_i'C - C'(sum alpha R)C, with u_b = V'AtWb (= u when no taus)
+    if reg_taus_x is None:
+        ub_x = u_x
+    else:
+        ub_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in AtWb_x),
+                        nwords=2)
+        ub_x = tuple(w[..., 0] for w in ub_x)
+    S_x = xprec.exp_dot(ub_x, z_x, nwords=2)
     S_x = exp_scale_pow2(S_x, 1.0 / s)
     diff = exp_add(btWb_x, exp_neg(S_x), nwords=2)
     chi2 = diff[0]
     for wd in diff[1:]:
         chi2 = chi2 + wd
+    if reg_taus_x is not None:
+        for i in range(nreg):
+            m, k = pow10_split(reg_params[i])
+            tau_i = exp_hi(tuple(wd[i] for wd in reg_taus_x))
+            chi2 = chi2 + mul_pow2i(m * (C @ tau_i), k)
     if aR_sum is not None:
         t = exp_hi(ozaki_mm(aR_sum, (C[..., None],), nwords=1))[..., 0]
         chi2 = chi2 - C @ t
@@ -859,6 +939,23 @@ def whitened_chi2_split(m, k, lam, u, btWb):
         else m * lam * jnp.exp2(jnp.asarray(k, jnp.float64))
     d = 1.0 / (1.0 + al)
     return jnp.sum(u * u * (d * d - 2.0 * d)) + btWb
+
+
+def whitened_chi2_tau_split(m, k, lam, u, utau, btWb):
+    """whitened_chi2_split with a data-informed target: rhs = AtWb +
+    alpha tau, utau = Q' B^{-1} tau.  chi2(a) = btWb - 2 sum d u (u + a
+    utau) + sum d^2 (u + a utau)^2, d = 1/(1 + a lam).  Collapses to
+    whitened_chi2_split when utau = 0 (alpha utau flushes for the deep
+    bracket grid)."""
+    if lam.dtype == jnp.float64:
+        a = m.astype(jnp.float64) * jnp.exp2(jnp.asarray(k, jnp.float64))
+        al = a * lam
+        ua = u + a * utau
+    else:
+        al = mul_pow2i(m * lam, k)
+        ua = u + mul_pow2i(m * utau, k)
+    d = 1.0 / (1.0 + al)
+    return jnp.sum(d * ua * (d * ua - 2.0 * u)) + btWb
 
 
 def whitened_solve(a, lam, Q, Binv, u):

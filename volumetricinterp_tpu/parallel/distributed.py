@@ -123,7 +123,7 @@ def make_global(x, mesh: Mesh, spec):
 
 def fit_records_distributed(values, errors, A, reg_mats, mesh: Mesh,
                             method: str = "chi2", manual_params=None,
-                            regparam_mode: str = "exact"):
+                            regparam_mode: str = "exact", reg_taus=None):
     """Multi-process batched fit: every process passes the FULL data arrays
     (each read from the shared file); returns fully-replicated numpy results
     on every process.
@@ -177,8 +177,10 @@ def fit_records_distributed(values, errors, A, reg_mats, mesh: Mesh,
             mlp = np.log10(np.asarray(manual_params, np.float64))
         mlp = jnp.asarray(mlp)
 
+    from .fit import _split_taus
     C, dC, chi2, log_a = _stats_then_solve(
-        b_x, W_x, mask, A_x, reg_x, mesh, method, mlp, regparam_mode)
+        b_x, W_x, mask, A_x, reg_x, mesh, method, mlp, regparam_mode,
+        reg_taus_x=_split_taus(reg_taus))
 
     if jax.process_count() > 1:
         C, dC, chi2, log_a = (

@@ -53,7 +53,7 @@ def _log_to_raw(log_alphas):
 
 def fit_records_sharded(values, errors, A, reg_mats, mesh: Mesh,
                         method: str = "chi2", manual_params=None,
-                        regparam_mode: str = "exact"):
+                        regparam_mode: str = "exact", reg_taus=None):
     """Sharded batched fit.  values/errors: [nrec, npoints]; A: [npoints,
     nb]; host arrays (expansion splitting happens here).
 
@@ -94,9 +94,22 @@ def fit_records_sharded(values, errors, A, reg_mats, mesh: Mesh,
         with np.errstate(divide="ignore"):
             mlp = jnp.asarray(np.log10(np.asarray(manual_params,
                                                   np.float64)))
+    reg_taus_x = _split_taus(reg_taus)
     C, dC, chi2, log_a = _stats_then_solve(
-        b_x, W_x, mask, A_x, reg_x, mesh, method, mlp, regparam_mode)
+        b_x, W_x, mask, A_x, reg_x, mesh, method, mlp, regparam_mode,
+        reg_taus_x=reg_taus_x)
     return C[:nrec], dC[:nrec], chi2[:nrec], _log_to_raw(log_a[:nrec])
+
+
+def _split_taus(reg_taus):
+    """Backend-appropriate expansion split of the optional tau vectors
+    (data-informed regularization; see ops/fit.fit_records)."""
+    if reg_taus is None:
+        return None
+    rt = np.asarray(reg_taus, np.float64)
+    if jax.default_backend() == "tpu":
+        return tuple(map(jnp.asarray, xprec.split_f64_host(rt, 3)))
+    return (jnp.asarray(rt),)
 
 
 def _gcv_stage(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, regparam_mode):
@@ -159,7 +172,7 @@ def _gcv_stage(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, regparam_mode):
 
 
 def _stats_then_solve(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, method,
-                      manual_log_params, regparam_mode):
+                      manual_log_params, regparam_mode, reg_taus_x=None):
     """The two sharded stages on already-padded expansion inputs:
     point-sharded exactly-combined sufficient statistics, then the
     per-record solve with records sharded over the whole mesh.  Shared by
@@ -204,23 +217,28 @@ def _stats_then_solve(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, method,
     btWb_s = jax.device_put(btWb_s, sh2)
     N = jax.device_put(N, sh2n)
 
+    taus_s = None if reg_taus_x is None else stack_x(reg_taus_x)
+    ntw = 0 if reg_taus_x is None else len(reg_taus_x)
+
     @partial(jax.jit, static_argnames=("method", "regparam_mode"),
              out_shardings=sh2n)
-    def solve(AtWA_s, AtWb_s, btWb_s, N, reg_s, mlp,
+    def solve(AtWA_s, AtWb_s, btWb_s, N, reg_s, mlp, taus_s,
               method=method, regparam_mode=regparam_mode):
         def one(a_s, ab_s, bb_s, n):
             return fit_from_stats_x(
                 unstack_x(a_s, nw), unstack_x(ab_s, nw),
                 unstack_x(bb_s, nw), n, unstack_x(reg_s, nw),
                 method=method, manual_log_params=mlp,
-                regparam_mode=regparam_mode)
+                regparam_mode=regparam_mode,
+                reg_taus_x=(None if taus_s is None
+                            else unstack_x(taus_s, ntw)))
 
         # record axis is axis 1 of the word-stacked statistics
         return jax.vmap(one, in_axes=(1, 1, 1, 0))(
             AtWA_s, AtWb_s, btWb_s, N)
 
     return solve(AtWA_s, AtWb_s, btWb_s, N, stack_x(reg_x),
-                 manual_log_params)
+                 manual_log_params, taus_s)
 
 
 def grid_eval_sharded(evaluator, C, gdlat, gdlon, gdalt, mesh: Mesh):
