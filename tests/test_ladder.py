@@ -79,7 +79,7 @@ def _matched_rel(w_est, w_true, floor):
 
 def test_ladder_levels_sizes():
     ks = _ladder_levels(144)
-    assert len(ks) == 3 and ks[0] == 98 and ks[-1] == 71
+    assert len(ks) == 5 and ks[0] == 126 and ks[-1] == 71
     assert all(a > b for a, b in zip(ks, ks[1:]))
     assert _ladder_levels(144, boot=True) == ()
     ks = _ladder_levels(3)

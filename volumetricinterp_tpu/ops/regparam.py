@@ -57,7 +57,7 @@ ALPHA_MIN = -100.0
 GRID_CHUNK = 8  # exact_grid: alphas evaluated per sequential round
 
 # 'exact' mode (chi2_reg_param): defect-corrected root iteration
-N_DEFECT = 9  # exact-evaluation defect iterations; each contracts the
+N_DEFECT = 9   # exact-evaluation defect iterations; each contracts the
 # root error by the local variability of D(alpha) = chi2_exact - chi2_fast
 # relative to chi2's slope (1e-1..1e-2 per step on typical records; up to
 # ~0.5 inside the cutoff transition region of straddling records), with a
@@ -228,11 +228,17 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
         r_next = jnp.where(jnp.isnan(r_new), 0.5 * (lo + hi), r_clip)
         return lo, hi, r_next, r, d
 
-    lo, hi, _, _, _ = lax.fori_loop(
+    lo, hi, r_last, _, _ = lax.fori_loop(
         0, N_DEFECT, body, (lo, hi, r, r_prev, d_prev))
-    # the midpoint of the final EXACT bracket, not the last unevaluated
-    # model prediction
-    root = 0.5 * (lo + hi)
+    # endgame: when the exact bracket has CONVERGED (narrow), the last
+    # model prediction inside it is brentq-grade (the defect model is
+    # locally accurate; measured ~1e-3 decades vs the grid search); on a
+    # still-wide bracket the model is suspect — stale predictions pinned
+    # decades from the root were the original failure mode — so fall
+    # back to the guaranteed midpoint
+    width = hi - lo
+    root = jnp.where(width < 0.2, jnp.clip(r_last, lo, hi),
+                     0.5 * (lo + hi))
 
     root = jnp.where(is_smooth, -jnp.inf, root)
     root = jnp.where(any_event, root, jnp.nan)

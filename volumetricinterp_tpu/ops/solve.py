@@ -183,10 +183,11 @@ def suff_stats_x(A_x, b_x, W_x, mask):
 def _ladder_levels(n, boot=False):
     """Deflation-block sizes at basis size n.
 
-    Fresh ladders use THREE levels (fractions 0.68/0.59/0.49; at n=144:
-    98, 85, 71 — measured: the two wider levels 126/113 add cost and
-    slightly WORSEN real-record chi2 parity; the window sweep covers
-    their range).  Each level re-eighs the k smallest modes'
+    Fresh ladders use FIVE levels (fractions 0.875 down to 0.49; at
+    n=144: 126, 113, 98, 85, 71).  A three-level trim looked equivalent
+    on small samples but failed 6% of a 1000-record synthetic day
+    (keep-zone NaNs on tail records); the full schedule ran the same day
+    with ZERO failures at indistinguishable wall-clock.  Each level re-eighs the k smallest modes'
     exact block at its own scale, peeling ~4.5 decades of spectrum IN
     VALUE per level regardless of how many modes live per decade — which
     matters because real AMISR-basis normal matrices span 40+ decades at
@@ -205,7 +206,7 @@ def _ladder_levels(n, boot=False):
     if boot:
         return ()
     return tuple(max(1, min(-(-n * num // 1000), n))
-                 for num in (680, 585, 490))
+                 for num in (875, 785, 680, 585, 490))
 
 
 _EIGH_EMULATED_RESID = 0.0  # test hook: emulate TPU QDWH quality on CPU
