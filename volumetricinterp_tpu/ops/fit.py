@@ -32,7 +32,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import regparam, xprec
+from . import regparam, solve, xprec
 from .solve import final_solve_x, suff_stats, suff_stats_x
 from .xprec import exp_hi
 
@@ -60,6 +60,15 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
     Returns (C [nb], dC [nb, nb], chi2 [], log_alphas [nreg])."""
     dt = btWb_x[0].dtype
     nreg = reg_mats_x[0].shape[0]
+    # In exact mode, AtWA's fresh ladder decomposition is shared across
+    # every regularization matrix's search AND the final solve (which
+    # bootstraps from its eigenbasis): one n-size decomposition per
+    # record instead of nreg + 2.
+    eigA = None
+    boot_Vx = None
+    if method == "chi2" and regparam_mode == "exact" and nreg > 0:
+        eigA = solve.normalized_eigh_x(AtWA_x)
+        boot_Vx = eigA[1]
     if nreg == 0:
         log_alphas = jnp.zeros((0,), dtype=dt)
     elif method in ("manual", "prompt"):
@@ -68,7 +77,7 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
         # reference semantics: each parameter solved with all others at
         # zero (interpolate.py:120-124, 246-252)
         search = {
-            "exact": regparam.chi2_reg_param,
+            "exact": partial(regparam.chi2_reg_param, eigA=eigA),
             "exact_grid": regparam.chi2_reg_param_grid,
             "fast": regparam.chi2_reg_param_fast,
         }[regparam_mode]
@@ -84,7 +93,8 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
                          "use fit_one_record_x")
 
     C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x,
-                                log_alphas, reg_taus_x=reg_taus_x)
+                                log_alphas, reg_taus_x=reg_taus_x,
+                                boot_Vx=boot_Vx)
 
     # NaN-fill failed records (interpolate.py:557-563)
     bad = jnp.any(jnp.isnan(log_alphas)) if nreg > 0 else jnp.asarray(False)

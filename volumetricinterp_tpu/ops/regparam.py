@@ -56,6 +56,13 @@ SCALE_FACTORS = (0.6, 0.7, 0.8, 0.9, 1.0)
 ALPHA_MIN = -100.0
 GRID_CHUNK = 8  # exact_grid: alphas evaluated per sequential round
 
+# Boot-ladder tail for the defect iterations' exact evaluations:
+# 'full' runs the complete clean/grade tail (see solve._ladder_eigh_x),
+# 'light' stops after the window sweep + one polish round.  Only the
+# scalar chi^2 consumes these decompositions; the FINAL solve (outputs)
+# always runs the full tail.
+BOOT_TAIL = "full"
+
 # 'exact' mode (chi2_reg_param): defect-corrected root iteration
 N_DEFECT = 9   # exact-evaluation defect iterations; each contracts the
 # root error by the local variability of D(alpha) = chi2_exact - chi2_fast
@@ -128,7 +135,7 @@ def _ladder_outcome(chi2_floor, chi2_one, N):
     return nus[s], too_smooth[s], jnp.any(event)
 
 
-def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
+def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
     """chi2-nu regularization parameter, DEFECT-CORRECTED exact search
     (the default 'exact' mode).  Inputs are EXPANSIONS (ops/xprec.py).
 
@@ -138,11 +145,16 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
     endpoints alpha = 1 and alpha = 1e-100.
 
     Decomposition budget per record per regularization matrix: one fresh
-    ladder for AtWA (shared with the alpha -> 0 endpoint and the pencil
-    whitening), one fresh ladder for X(1) (R-dominated: AtWA's basis is
-    useless there), one cheap f32 eigh for the whitened pencil G, and
-    N_DEFECT BOOTSTRAPPED ladders (no n-size eigh) for the defect
-    iterations.
+    ladder for AtWA (shared with the alpha -> 0 endpoint, the pencil
+    whitening, and — via ``eigA`` — across regularization matrices and
+    the caller's final solve), one fresh ladder for X(1) (R-dominated:
+    AtWA's basis is useless there), one cheap f32 eigh for the whitened
+    pencil G, and N_DEFECT BOOTSTRAPPED ladders (no n-size eigh) for the
+    defect iterations.
+
+    ``eigA``: optional precomputed ``normalized_eigh_x(AtWA_x)`` tuple
+    (w_x, Vx, s, M_x) — pass it when the caller already holds AtWA's
+    ladder decomposition so it is not recomputed here.
 
     Returns LOG10(alpha): -inf for "too smooth" (alpha = 0,
     interpolate.py:189-191), NaN when no bracket exists
@@ -150,7 +162,8 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
     dt = btWb_x[0].dtype
 
     # shared fresh decomposition of AtWA (normalized units)
-    wA_x, VA_x, sA, MA_x = normalized_eigh_x(AtWA_x)
+    wA_x, VA_x, sA, MA_x = eigA if eigA is not None \
+        else normalized_eigh_x(AtWA_x)
     chi2_floor = chi2_from_eig_x(wA_x, VA_x, MA_x, AtWb_x, btWb_x, sA)
     lam, Q, Binv = whiten_pencil(exp_hi(AtWA_x), exp_hi(R_x),
                                  eig_AtWA=(exp_hi(wA_x) * sA,
@@ -172,7 +185,8 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
         Xx = exp_add(AtWA_x, aR_x)
         atau_x = None if tau_x is None else exp_mul_split(tau_x, m, k)
         if boot:
-            w_x, Vx, s, M_x = normalized_eigh_boot_x(Xx, VA_x)
+            w_x, Vx, s, M_x = normalized_eigh_boot_x(Xx, VA_x,
+                                                     tail=BOOT_TAIL)
         else:
             w_x, Vx, s, M_x = normalized_eigh_x(Xx)
         return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x,

@@ -443,7 +443,7 @@ _N_FO = 2      # polish rounds per clean phase (before and after the
 # cutoff-zone grading level)
 
 
-def _ladder_eigh_x(Xx, boot_Vx=None):
+def _ladder_eigh_x(Xx, boot_Vx=None, tail="full"):
     """Ladder eigendecomposition of a NORMALIZED expansion (|w|max ~ 1).
 
     Structure: one full-size f32 eigh seeds the basis; the deflation
@@ -461,7 +461,14 @@ def _ladder_eigh_x(Xx, boot_Vx=None):
     ``boot_Vx``: eigenbasis of a NEARBY matrix (e.g. AtWA for
     X = AtWA + alpha R near a chi2 root) — skips the full-size f32 eigh
     and ALL deflation levels; the window sweep alone re-resolves the
-    alpha-step drift (validated from aR negligible to aR dominant)."""
+    alpha-step drift (validated from aR negligible to aR dominant).
+
+    ``tail``: 'full' (default) runs the complete clean/grade/touch-up
+    tail; 'light' (boot only) stops after the window sweep plus one
+    polish round and the final projection — for evaluations whose ONLY
+    consumer is a scalar chi^2 inside a bracketed search, where
+    residual wall-internal mixing shifts chi^2 by less than the
+    bracket tolerance."""
     hi = exp_hi(Xx)
     if _is_x64(Xx):  # CPU: native f64 eigh is exact — no ladder needed
         w, V = jnp.linalg.eigh(hi)
@@ -483,6 +490,11 @@ def _ladder_eigh_x(Xx, boot_Vx=None):
         d_hi, Vx, M_x = _level_x(Xx, Vx, d_hi, k, M_x)
     for _ in range(_N_SWEEPS):
         d_hi, Vx, M_x = _window_sweep_x(Vx, d_hi, M_x)
+    if tail == "light" and boot_Vx is not None:
+        d_hi, Vx = _fo_polish_round_x(Xx, Vx, M_x=M_x)
+        M_x = _project_x(Xx, Vx)
+        w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
+        return w_x, Vx, M_x
     # CLEAN, then GRADE, then touch up.  The polish rounds first kill the
     # far-pollution every mode carries (overlap with modes decades above,
     # injected by every eigh's backward error and spread by every block
@@ -541,7 +553,7 @@ def normalized_eigh_x(Xx):
     return w_x, Vx, s, M_x
 
 
-def normalized_eigh_boot_x(Xx, boot_Vx):
+def normalized_eigh_boot_x(Xx, boot_Vx, tail="full"):
     """Bootstrapped normalized_eigh_x from the eigenbasis of a nearby
     matrix (skips the full-size f32 eigh and the first deflation level)."""
     s = _norm_scale_x(Xx)
@@ -549,7 +561,7 @@ def normalized_eigh_boot_x(Xx, boot_Vx):
     if _is_x64(Xx):
         w, V = jnp.linalg.eigh(exp_hi(Xn))
         return (w,), (V,), s, (jnp.zeros_like(exp_hi(Xn)) + jnp.diag(w),)
-    w_x, Vx, M_x = _ladder_eigh_x(Xn, boot_Vx=boot_Vx)
+    w_x, Vx, M_x = _ladder_eigh_x(Xn, boot_Vx=boot_Vx, tail=tail)
     return w_x, Vx, s, M_x
 
 
@@ -699,7 +711,7 @@ def cutoff_chi2_x(m, k, AtWA_x, AtWb_x, btWb_x, R_x):
 
 
 def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params,
-                  reg_taus_x=None):
+                  reg_taus_x=None, boot_Vx=None):
     """Coefficients, covariance and chi^2 of one record's regularized fit
     (interpolate.py:432-469 eval_C with calccov=True, plus the chi^2 of
     interpolate.py:569), from expansion sufficient statistics.
@@ -719,6 +731,13 @@ def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params,
     pull toward the target profile with tau = R C_target.  The normal
     equations become (AtWA + sum alpha R) C = AtWb + sum alpha tau; the
     DATA chi^2 reported (and searched against nu) keeps its meaning.
+
+    boot_Vx: optional expansion eigenbasis of AtWA (from the chi2
+    search's shared fresh ladder) — the final solve happens AT the
+    search's root, exactly where the search's own bootstrapped
+    evaluations ran all day, so the boot ladder is as valid here as it
+    was there and the n-size f32 eigh plus all deflation levels are
+    skipped.
     """
     nreg = reg_mats_x[0].shape[0]
     Xx = AtWA_x
@@ -734,7 +753,10 @@ def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params,
         if reg_taus_x is not None:
             tau_i = tuple(wd[i] for wd in reg_taus_x)
             rhs_x = exp_add(rhs_x, exp_mul_split(tau_i, m, k))
-    w_x, Vx, s, M_x = normalized_eigh_x(Xx)
+    if boot_Vx is not None:
+        w_x, Vx, s, M_x = normalized_eigh_boot_x(Xx, boot_Vx)
+    else:
+        w_x, Vx, s, M_x = normalized_eigh_x(Xx)
     n = w_x[0].shape[-1]
     u_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in rhs_x), nwords=2)
     u_x = tuple(w[..., 0] for w in u_x)
