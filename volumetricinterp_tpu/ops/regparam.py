@@ -56,12 +56,27 @@ SCALE_FACTORS = (0.6, 0.7, 0.8, 0.9, 1.0)
 ALPHA_MIN = -100.0
 GRID_CHUNK = 8  # exact_grid: alphas evaluated per sequential round
 
-# Boot-ladder tail for the defect iterations' exact evaluations:
-# 'full' runs the complete clean/grade tail (see solve._ladder_eigh_x),
-# 'light' stops after the window sweep + one polish round.  Only the
-# scalar chi^2 consumes these decompositions; the FINAL solve (outputs)
-# always runs the full tail.
-BOOT_TAIL = "full"
+# Boot-ladder tail schedule for the defect iterations' exact
+# evaluations: the FIRST N_DEFECT_LIGHT iterations use LIGHT_TAIL
+# ('light' = window sweep + one polish round, 'mid' = + the half-size
+# cutoff-zone grading level — see solve._ladder_eigh_x), the remainder
+# the full clean/grade tail.  DEFAULT 0: every evaluation full.
+# Measured day-scale trade-offs on device (1000 synthetic records,
+# nbasis=144, vs the all-full 34.0 s day whose chi2 parity to the f64
+# oracle is median 0.78% / max 25%):
+#   all-light (9, 'light'):  22.6 s, parity median 1.26% / max 45%
+#   6 light + 3 full:        26.6 s, parity ~ all-light — a light eval
+#       that mis-signs chi2-nu near the root POISONS the bracket; the
+#       full finishing iterations cannot escape it (the safeguard clips
+#       iterates into the bracket), so trailing full evals do not
+#       recover accuracy
+#   all-mid (9, 'mid'):      28.1 s, parity median 0.79% — identical to
+#       full except 4/1000 staircase records (root flips a retention
+#       step; up to 44% chi2 there)
+# Only the scalar chi^2 consumes these decompositions; the FINAL solve
+# (outputs) always runs the full tail.
+N_DEFECT_LIGHT = 0
+LIGHT_TAIL = "mid"
 
 # 'exact' mode (chi2_reg_param): defect-corrected root iteration
 N_DEFECT = 9   # exact-evaluation defect iterations; each contracts the
@@ -174,7 +189,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
     for wd in btWb_x[1:]:
         btWb_hi = btWb_hi + wd
 
-    def exact_eval(a_log, boot=True):
+    def exact_eval(a_log, boot=True, tail="full"):
         """Exact cutoff chi^2 at alpha = 10^a_log; defect-loop evaluations
         bootstrap the ladder from AtWA's eigenbasis (valid because alpha R
         perturbs the TOP modes negligibly near any root — regularization
@@ -185,8 +200,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
         Xx = exp_add(AtWA_x, aR_x)
         atau_x = None if tau_x is None else exp_mul_split(tau_x, m, k)
         if boot:
-            w_x, Vx, s, M_x = normalized_eigh_boot_x(Xx, VA_x,
-                                                     tail=BOOT_TAIL)
+            w_x, Vx, s, M_x = normalized_eigh_boot_x(Xx, VA_x, tail=tail)
         else:
             w_x, Vx, s, M_x = normalized_eigh_x(Xx)
         return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x,
@@ -212,9 +226,14 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
     r_prev = jnp.asarray(jnp.nan, dt)
     d_prev = jnp.asarray(jnp.nan, dt)
 
-    def body(_, carry):
+    def body_with(tail):
+        def body(_, carry):
+            return _defect_body(carry, tail)
+        return body
+
+    def _defect_body(carry, tail):
         lo, hi, r, r_prev, d_prev = carry
-        c_r = exact_eval(r)
+        c_r = exact_eval(r, tail=tail)
         f_r = c_r - nu
         below = f_r < 0.0
         lo = jnp.where(below, r, lo)
@@ -242,8 +261,12 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
         r_next = jnp.where(jnp.isnan(r_new), 0.5 * (lo + hi), r_clip)
         return lo, hi, r_next, r, d
 
+    carry = (lo, hi, r, r_prev, d_prev)
+    n_light = min(max(N_DEFECT_LIGHT, 0), N_DEFECT)
+    if n_light > 0:
+        carry = lax.fori_loop(0, n_light, body_with(LIGHT_TAIL), carry)
     lo, hi, r_last, _, _ = lax.fori_loop(
-        0, N_DEFECT, body, (lo, hi, r, r_prev, d_prev))
+        n_light, N_DEFECT, body_with("full"), carry)
     # endgame: when the exact bracket has CONVERGED (narrow), the last
     # model prediction inside it is brentq-grade (the defect model is
     # locally accurate; measured ~1e-3 decades vs the grid search); on a

@@ -495,6 +495,17 @@ def _ladder_eigh_x(Xx, boot_Vx=None, tail="full"):
         M_x = _project_x(Xx, Vx)
         w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
         return w_x, Vx, M_x
+    if tail == "mid" and boot_Vx is not None:
+        # keep the half-size cutoff-zone grading level (the dense
+        # near-cutoff wall is what the light tail misses) but drop the
+        # finer n/4 level and the extra polish rounds
+        d_hi, Vx = _fo_polish_round_x(Xx, Vx, M_x=M_x)
+        M_x = _project_x(Xx, Vx)
+        d_hi, Vx, M_x = _level_x(Xx, Vx, d_hi, max(1, n // 2), M_x)
+        d_hi, Vx = _fo_polish_round_x(Xx, Vx, M_x=M_x)
+        M_x = _project_x(Xx, Vx)
+        w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
+        return w_x, Vx, M_x
     # CLEAN, then GRADE, then touch up.  The polish rounds first kill the
     # far-pollution every mode carries (overlap with modes decades above,
     # injected by every eigh's backward error and spread by every block
