@@ -162,10 +162,12 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
     Decomposition budget per record per regularization matrix: one fresh
     ladder for AtWA (shared with the alpha -> 0 endpoint, the pencil
     whitening, and — via ``eigA`` — across regularization matrices and
-    the caller's final solve), one fresh ladder for X(1) (R-dominated:
-    AtWA's basis is useless there), one cheap f32 eigh for the whitened
-    pencil G, and N_DEFECT BOOTSTRAPPED ladders (no n-size eigh) for the
-    defect iterations.
+    the caller's final solve), one cheap f32 eigh for the whitened
+    pencil G, and N_DEFECT + 1 BOOTSTRAPPED ladders (no n-size eigh):
+    the defect iterations from AtWA's basis, and the X(1) endpoint from
+    R's basis (R is record-independent, so its fresh ladder is hoisted
+    out of the record batch by vmap) or AtWA's, whichever side
+    dominates X(1) = AtWA + R.
 
     ``eigA``: optional precomputed ``normalized_eigh_x(AtWA_x)`` tuple
     (w_x, Vx, s, M_x) — pass it when the caller already holds AtWA's
@@ -189,7 +191,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
     for wd in btWb_x[1:]:
         btWb_hi = btWb_hi + wd
 
-    def exact_eval(a_log, boot=True, tail="full"):
+    def exact_eval(a_log, boot=True, tail="full", basis=None):
         """Exact cutoff chi^2 at alpha = 10^a_log; defect-loop evaluations
         bootstrap the ladder from AtWA's eigenbasis (valid because alpha R
         perturbs the TOP modes negligibly near any root — regularization
@@ -200,14 +202,25 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
         Xx = exp_add(AtWA_x, aR_x)
         atau_x = None if tau_x is None else exp_mul_split(tau_x, m, k)
         if boot:
-            w_x, Vx, s, M_x = normalized_eigh_boot_x(Xx, VA_x, tail=tail)
+            w_x, Vx, s, M_x = normalized_eigh_boot_x(
+                Xx, VA_x if basis is None else basis, tail=tail)
         else:
             w_x, Vx, s, M_x = normalized_eigh_x(Xx)
         return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x,
                                atau_x=atau_x)
 
-    # alpha = 1 is R-dominated (far from AtWA's basis): fresh ladder
-    chi2_one = exact_eval(jnp.asarray(0.0, dt), boot=False)
+    # alpha = 1 endpoint: X(1) = AtWA + R, far from AtWA's basis when R
+    # dominates (the physical-units case: AtWA ~ 1e-17 ||R|| for Ne
+    # fits).  Boot from whichever side dominates the sum: R's own fresh
+    # ladder — R is record-INDEPENDENT, so under the record vmap its
+    # decomposition is unbatched and computed once per dispatch, not per
+    # record — or AtWA's when the data term dominates (dimensionless
+    # parameters with O(1) weights).  The power-of-two normalization
+    # scales sA/sR are exact order-of-magnitude proxies for the norms.
+    wR_x, VR_x, sR, MR_x = normalized_eigh_x(R_x)
+    pickR = sR >= sA
+    Vboot = tuple(jnp.where(pickR, r, a) for r, a in zip(VR_x, VA_x))
+    chi2_one = exact_eval(jnp.asarray(0.0, dt), basis=Vboot)
     nu, is_smooth, any_event = _ladder_outcome(chi2_floor, chi2_one, N)
 
     # defect-corrected iteration, seeded at the root of chi2_fast + D0 =
