@@ -48,7 +48,7 @@ def record_stats(values, errors, A):
 
 def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
                      manual_log_params=None, regparam_mode: str = "exact",
-                     reg_taus_x=None):
+                     reg_taus_x=None, reg_eigR=None):
     """Fit one record from expansion sufficient statistics (chi2/manual
     methods; GCV needs per-point quantities, see fit_one_record_x).
 
@@ -56,6 +56,10 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
     search (ops/regparam.chi2_reg_param); 'exact_grid' the full 101-point
     grid scan (receipts baseline); 'fast' the O(nbasis)-per-alpha
     whitened search.
+
+    reg_eigR: optional memoized ladder bases of the (fit-constant)
+    regularization matrices — (VR_x words [nreg, nb, nb], sR [nreg]);
+    see _reg_mats_eig.
 
     Returns (C [nb], dC [nb, nb], chi2 [], log_alphas [nreg])."""
     dt = btWb_x[0].dtype
@@ -76,18 +80,22 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
     elif method == "chi2":
         # reference semantics: each parameter solved with all others at
         # zero (interpolate.py:120-124, 246-252)
-        search = {
-            "exact": partial(regparam.chi2_reg_param, eigA=eigA),
-            "exact_grid": regparam.chi2_reg_param_grid,
-            "fast": regparam.chi2_reg_param_fast,
-        }[regparam_mode]
-        log_alphas = jnp.stack([
-            search(AtWA_x, AtWb_x, btWb_x, N,
-                   tuple(w[i] for w in reg_mats_x),
-                   tau_x=(None if reg_taus_x is None
-                          else tuple(w[i] for w in reg_taus_x)))
-            for i in range(nreg)
-        ])
+        def search(i):
+            R_i = tuple(w[i] for w in reg_mats_x)
+            tau_i = (None if reg_taus_x is None
+                     else tuple(w[i] for w in reg_taus_x))
+            if regparam_mode == "exact":
+                eigR_i = (None if reg_eigR is None else
+                          (tuple(w[i] for w in reg_eigR[0]),
+                           reg_eigR[1][i]))
+                return regparam.chi2_reg_param(
+                    AtWA_x, AtWb_x, btWb_x, N, R_i, tau_x=tau_i,
+                    eigA=eigA, eigR=eigR_i)
+            f = {"exact_grid": regparam.chi2_reg_param_grid,
+                 "fast": regparam.chi2_reg_param_fast}[regparam_mode]
+            return f(AtWA_x, AtWb_x, btWb_x, N, R_i, tau_x=tau_i)
+
+        log_alphas = jnp.stack([search(i) for i in range(nreg)])
     else:
         raise ValueError(f"method {method!r} needs per-point data; "
                          "use fit_one_record_x")
@@ -107,7 +115,7 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
 
 def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
                      manual_log_params=None, regparam_mode: str = "exact",
-                     reg_taus_x=None):
+                     reg_taus_x=None, reg_eigR=None):
     """Fit a single record from expansion inputs.  b_x/W_x: [npoints]
     expansions (pre-masked on host); mask: [npoints]; A_x: [npoints,
     nbasis] expansion; reg_mats_x: [nreg, nbasis, nbasis] expansion.
@@ -143,18 +151,19 @@ def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
 
     return fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method,
                             manual_log_params, regparam_mode,
-                            reg_taus_x=reg_taus_x)
+                            reg_taus_x=reg_taus_x, reg_eigR=reg_eigR)
 
 
 @partial(jax.jit, static_argnames=("method", "regparam_mode"))
 def _fit_records_core(b_x, W_x, mask, A_x, reg_mats_x, method: str = "chi2",
                       manual_log_params=None, regparam_mode: str = "exact",
-                      reg_taus_x=None):
+                      reg_taus_x=None, reg_eigR=None):
     """Vmapped batched fit over expansion inputs (leading record axis on
     b_x/W_x/mask)."""
     f = partial(fit_one_record_x, A_x=A_x, reg_mats_x=reg_mats_x,
                 method=method, manual_log_params=manual_log_params,
-                regparam_mode=regparam_mode, reg_taus_x=reg_taus_x)
+                regparam_mode=regparam_mode, reg_taus_x=reg_taus_x,
+                reg_eigR=reg_eigR)
     return jax.vmap(f, in_axes=(0, 0, 0))(b_x, W_x, mask)
 
 
@@ -186,6 +195,43 @@ def prepare_fit_inputs(values, errors, A, reg_mats):
     # formation directly)
     return (split(b, 2), split(W, 2), jnp.asarray(mask.astype(np.float32)),
             split(A, 2), split(reg_mats, 3))
+
+
+_EIGR_CACHE: dict = {}
+
+
+def _reg_mats_eig(reg_mats, reg_mats_x):
+    """Memoized ladder bases of the regularization matrices: (VR_x words
+    [nreg, nb, nb] 2-word tuple, sR [nreg]).
+
+    The chi2 'exact' search boots its alpha = 1 endpoint from R's
+    eigenbasis (ops/regparam.chi2_reg_param); R is FIT-CONSTANT, so its
+    fresh ladder — an UNBATCHED full decomposition that pays every eigh's
+    latency without batch amortization (~0.4 s/dispatch measured) — is
+    paid once per reg set per process here instead of inside every
+    record-chunk dispatch."""
+    key = (reg_mats.shape, hash(reg_mats.tobytes()))
+    hit = _EIGR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from . import solve as _solve
+
+    @jax.jit
+    def one(R_x):
+        _, Vx, s, _ = _solve.normalized_eigh_x(R_x)
+        return Vx, s
+
+    nreg = reg_mats.shape[0]
+    Vs, ss = [], []
+    for i in range(nreg):
+        Vx, s = one(tuple(w[i] for w in reg_mats_x))
+        Vs.append(Vx)
+        ss.append(s)
+    out = (tuple(jnp.stack([v[w] for v in Vs]) for w in range(len(Vs[0]))),
+           jnp.stack(ss))
+    _EIGR_CACHE.clear()  # bound memory: keep the current reg set only
+    _EIGR_CACHE[key] = out
+    return out
 
 
 def fit_records(values, errors, A, reg_mats, method: str = "chi2",
@@ -221,10 +267,15 @@ def fit_records(values, errors, A, reg_mats, method: str = "chi2",
         mp = np.asarray(manual_params, np.float64)
         with np.errstate(divide="ignore"):
             mlp = jnp.asarray(np.log10(mp))
+    reg_eigR = None
+    if (method == "chi2" and regparam_mode == "exact"
+            and np.asarray(reg_mats).shape[0] > 0):
+        reg_eigR = _reg_mats_eig(np.asarray(reg_mats, np.float64),
+                                 reg_mats_x)
     C, dC, chi2, log_alphas = _fit_records_core(
         b_x, W_x, mask, A_x, reg_mats_x, method=method,
         manual_log_params=mlp, regparam_mode=regparam_mode,
-        reg_taus_x=reg_taus_x)
+        reg_taus_x=reg_taus_x, reg_eigR=reg_eigR)
     la = np.asarray(log_alphas, np.float64)
     with np.errstate(over="ignore"):
         rp = 10.0 ** la  # -inf -> 0.0 (too smooth), NaN -> NaN

@@ -150,7 +150,8 @@ def _ladder_outcome(chi2_floor, chi2_one, N):
     return nus[s], too_smooth[s], jnp.any(event)
 
 
-def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
+def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
+                   eigR=None):
     """chi2-nu regularization parameter, DEFECT-CORRECTED exact search
     (the default 'exact' mode).  Inputs are EXPANSIONS (ops/xprec.py).
 
@@ -172,6 +173,12 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
     ``eigA``: optional precomputed ``normalized_eigh_x(AtWA_x)`` tuple
     (w_x, Vx, s, M_x) — pass it when the caller already holds AtWA's
     ladder decomposition so it is not recomputed here.
+
+    ``eigR``: optional precomputed (VR_x, sR) from
+    ``normalized_eigh_x(R_x)`` — R is FIT-CONSTANT, so callers running
+    many dispatches (ops/fit.fit_records) memoize its ladder once per
+    run instead of paying an unbatched full ladder (~0.4 s of pure eigh
+    latency) inside every dispatch.
 
     Returns LOG10(alpha): -inf for "too smooth" (alpha = 0,
     interpolate.py:189-191), NaN when no bracket exists
@@ -217,7 +224,10 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None):
     # record — or AtWA's when the data term dominates (dimensionless
     # parameters with O(1) weights).  The power-of-two normalization
     # scales sA/sR are exact order-of-magnitude proxies for the norms.
-    wR_x, VR_x, sR, MR_x = normalized_eigh_x(R_x)
+    if eigR is not None:
+        VR_x, sR = eigR
+    else:
+        _, VR_x, sR, _ = normalized_eigh_x(R_x)
     pickR = sR >= sA
     Vboot = tuple(jnp.where(pickR, r, a) for r, a in zip(VR_x, VA_x))
     chi2_one = exact_eval(jnp.asarray(0.0, dt), basis=Vboot)

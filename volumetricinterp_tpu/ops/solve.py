@@ -408,32 +408,38 @@ def _level_x(Xx, Vx, d_hi, k, M_x):
 
     The block is SLICED from the maintained exact projection ``M_x``
     (free), and M_x is updated through the rotation with two skinny Ozaki
-    products — no full-size re-projection anywhere in the ladder."""
-    _, idx = lax.top_k(-jnp.abs(d_hi), k)
-    Ms = tuple(jnp.take(jnp.take(w, idx, axis=-1), idx, axis=-2)
-               for w in M_x)
+    products — no full-size re-projection anywhere in the ladder.
+
+    SELECTION BY PERMUTATION: the basis is sorted ascending-|d| (one
+    argsort + contiguous gathers — exact: permutations move words
+    unchanged), so the level block is the STATIC prefix [0:k] and every
+    update is a static-slice write.  The previous top_k/put_along_axis
+    formulation lowered to TPU scatters costing ~50 ms per level at
+    [128, 144, 144] — 8x the level's own eigh (measured; the permuted
+    form is value-identical).  Column order is arbitrary downstream
+    (every consumer masks on |w|)."""
+    order = jnp.argsort(jnp.abs(d_hi))
+    Vx = tuple(jnp.take(w, order, axis=-1) for w in Vx)
+    M_x = tuple(jnp.take(jnp.take(w, order, axis=-1), order, axis=-2)
+                for w in M_x)
+    z0 = jnp.asarray(0, jnp.int32)
+    Ms = tuple(w[..., :k, :k] for w in M_x)
     db = jnp.abs(jnp.diagonal(exp_hi(Ms), axis1=-2, axis2=-1))
     s = xprec._pow2_scale(jnp.max(db)[None])[0]
     _, Q = _block_eigh_f32(exp_hi(exp_scale_pow2(Ms, 1.0 / s)))
-    Vs = tuple(jnp.take(w, idx, axis=-1) for w in Vx)
-    Vs = ozaki_mm(Vs, (Q,), nwords=2, maxpq=_LADDER_MAXPQ)
-    Vx = tuple(
-        jnp.put_along_axis(w, jnp.broadcast_to(idx[None, :], ws.shape),
-                           ws, axis=-1, inplace=False)
-        for w, ws in zip(Vx, Vs))
+    Vs = ozaki_mm(tuple(w[..., :, :k] for w in Vx), (Q,), nwords=2,
+                  maxpq=_LADDER_MAXPQ)
+    Vx = tuple(lax.dynamic_update_slice(w, vs, (z0, z0))
+               for w, vs in zip(Vx, Vs))
     # M <- Q~' M Q~ (Q~ = Q on the block columns, identity elsewhere)
-    Mc = ozaki_mm(tuple(jnp.take(w, idx, axis=-1) for w in M_x), (Q,),
-                  nwords=3, maxpq=_LADDER_MAXPQ)
-    M_x = tuple(
-        jnp.put_along_axis(w, jnp.broadcast_to(idx[None, :], mc.shape),
-                           mc, axis=-1, inplace=False)
-        for w, mc in zip(M_x, Mc))
-    Mr = ozaki_mm((Q.T,), tuple(jnp.take(w, idx, axis=-2) for w in M_x),
-                  nwords=3, maxpq=_LADDER_MAXPQ)
-    M_x = tuple(
-        jnp.put_along_axis(w, jnp.broadcast_to(idx[:, None], mr.shape),
-                           mr, axis=-2, inplace=False)
-        for w, mr in zip(M_x, Mr))
+    Mc = ozaki_mm(tuple(w[..., :, :k] for w in M_x), (Q,), nwords=3,
+                  maxpq=_LADDER_MAXPQ)
+    M_x = tuple(lax.dynamic_update_slice(w, mc, (z0, z0))
+                for w, mc in zip(M_x, Mc))
+    Mr = ozaki_mm((Q.T,), tuple(w[..., :k, :] for w in M_x), nwords=3,
+                  maxpq=_LADDER_MAXPQ)
+    M_x = tuple(lax.dynamic_update_slice(w, mr, (z0, z0))
+                for w, mr in zip(M_x, Mr))
     d_hi = jnp.diagonal(exp_hi(M_x), axis1=-2, axis2=-1)
     return d_hi, Vx, M_x
 
@@ -637,7 +643,18 @@ def _keep_solve_x(w_x, u_x, M_x, keep, n_refine=2):
     <~ 0.8 -> converges where Richardson diverges), wrapped in exact-
     residual expansion refinement: each pass multiplies the accuracy by
     the f32 CG factor, reaching the ~1e-14 relative accuracy the
-    btWb - S cancellation needs in two passes."""
+    btWb - S cancellation needs in two passes.
+
+    MONOTONE GUARD: the iterate seeds at the DIAGONAL solve (what a
+    perfect uncoupled eigenbasis would give) and a refinement pass is
+    kept only if it SHRINKS the exact residual.  On healthy records
+    every pass improves and the guard never fires; on the rare record
+    whose kept set straddles the cutoff with a strongly coupled
+    near-floor mode (scaled couplings >> 1 there -> CG diverges), the
+    guard rejects the diverged passes instead of letting them feed the
+    btWb - S cancellation garbage (observed once per ~1000 real-basis
+    records as chi2 ~ -1e6; chi^2 is a weighted square sum and can
+    never go negative)."""
     if _is_x64(u_x):
         return _exp_div_masked(u_x, w_x, keep)
     d_hi = exp_hi(w_x)
@@ -648,17 +665,27 @@ def _keep_solve_x(w_x, u_x, M_x, keep, n_refine=2):
     n = d_hi.shape[-1]
     eyeM = jnp.eye(n, dtype=Mh.dtype)
     A32 = jnp.where(km, Mh / (sd[..., None, :] * sd[..., :, None]), eyeM)
-    z_x = (jnp.zeros_like(d_hi),)
-    r_x = u_x
+
+    def resid(z_x):
+        Mz = ozaki_mm(M_x, tuple(z[..., None] for z in z_x), nwords=2)
+        Mz = tuple(w[..., 0] for w in Mz)
+        r_x = exp_add(u_x, exp_neg(Mz), nwords=2)
+        return tuple(jnp.where(keep, r, 0.0) for r in r_x)
+
+    z_x = exp_renorm(list(_exp_div_masked(u_x, w_x, keep)), nwords=2)
+    r_x = resid(z_x)
+    rn = jnp.linalg.norm(exp_hi(r_x), axis=-1)
     for _ in range(n_refine + 1):
         rhs = jnp.where(keep, exp_hi(r_x) / sd, 0.0)
         y = _cg_f32(A32, rhs)
         dz = jnp.where(keep, y / sd, 0.0)
-        z_x = exp_renorm(list(z_x) + [dz], nwords=2)
-        Mz = ozaki_mm(M_x, tuple(z[..., None] for z in z_x), nwords=2)
-        Mz = tuple(w[..., 0] for w in Mz)
-        r_x = exp_add(u_x, exp_neg(Mz), nwords=2)
-        r_x = tuple(jnp.where(keep, r, 0.0) for r in r_x)
+        z_new = exp_renorm(list(z_x) + [dz], nwords=2)
+        r_new = resid(z_new)
+        rn_new = jnp.linalg.norm(exp_hi(r_new), axis=-1)
+        ok = rn_new <= rn
+        z_x = tuple(jnp.where(ok, a, b) for a, b in zip(z_new, z_x))
+        r_x = tuple(jnp.where(ok, a, b) for a, b in zip(r_new, r_x))
+        rn = jnp.where(ok, rn_new, rn)
     return tuple(jnp.where(keep, z, 0.0) for z in z_x)
 
 
