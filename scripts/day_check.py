@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Day-scale receipts: fit a 1000-record synthetic AMISR day in exact mode,
+time it, and compare chi2/alpha per record against the CPU f64 oracle.
+
+Usage:
+  python scripts/day_check.py            # TPU run + compare (oracle cached)
+  python scripts/day_check.py --oracle   # (re)build the CPU f64 oracle
+  python scripts/day_check.py --nrec 200 # smaller day
+
+The oracle runs the SAME pipeline on CPU, where an expansion is one native
+f64 word — i.e. the plain f64 algorithm (docs/PARITY_NOTES.md #9a).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = "/root/repo/.day_check"
+
+
+def build_inputs(nrec, seed=1):
+    import jax
+    from volumetricinterp_tpu.config import Config
+    from volumetricinterp_tpu.models.sphharmlag import Model
+    from volumetricinterp_tpu.io.synth import write_synthetic_amisr
+    from volumetricinterp_tpu.interpolate import Interpolate
+
+    os.makedirs(CACHE, exist_ok=True)
+    raw = os.path.join(CACHE, f"day_{nrec}_{seed}.h5")
+    cfg_text = f"""
+[DEFAULT]
+FILENAME = {raw}
+OUTPUTFILENAME = {os.path.join(CACHE, 'coef.h5')}
+REGULARIZATION_LIST = 0thorder
+REGULARIZATION_METHOD = chi2
+[MODEL]
+NAME = sphharmlag
+MAXK = 4
+MAXL = 6
+CAP_LIM = 10
+MAX_Z_INT = INF
+LATCP = 78
+LONCP = 262
+[TPU]
+QUAD_MODE = gauss
+"""
+    if not os.path.exists(raw):
+        model = Model(Config.from_text(cfg_text))
+        write_synthetic_amisr(raw, nrec=nrec, seed=seed,
+                              smooth_in_model=model, nan_frac=0.03,
+                              bad_frac=0.01)
+    return cfg_text
+
+
+def run_fit(nrec, seed, tag):
+    import jax
+    from volumetricinterp_tpu.interpolate import Interpolate
+
+    cfg_text = build_inputs(nrec, seed)
+    interp = Interpolate(cfg_text)
+    interp.calc_coeffs()  # compile warm-up (cached across runs)
+    t0 = time.perf_counter()
+    interp.calc_coeffs()
+    dt = time.perf_counter() - t0
+    out = {
+        "chi2": np.asarray(interp.chi_sq),
+        "reg": np.asarray(interp.reg_params),
+        "C": np.asarray(interp.Coeffs),
+        "wall_s": dt,
+        "backend": jax.default_backend(),
+    }
+    np.savez(os.path.join(CACHE, f"fit_{tag}_{nrec}_{seed}.npz"), **out)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--oracle", action="store_true")
+    ap.add_argument("--nrec", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=1)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache")
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    if args.oracle:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        out = run_fit(args.nrec, args.seed, "oracle")
+        print(json.dumps({"oracle_wall_s": round(out["wall_s"], 2),
+                          "nan_frac": float(np.isnan(out["chi2"]).mean())}))
+        return
+
+    out = run_fit(args.nrec, args.seed, "tpu")
+    rep = {"tpu_wall_s": round(out["wall_s"], 2),
+           "fits_per_s": round(args.nrec / out["wall_s"], 1),
+           "nan_frac": float(np.isnan(out["chi2"]).mean())}
+
+    opath = os.path.join(CACHE, f"fit_oracle_{args.nrec}_{args.seed}.npz")
+    if os.path.exists(opath):
+        o = np.load(opath)
+        both = np.isfinite(out["chi2"]) & np.isfinite(o["chi2"])
+        rel = np.abs(out["chi2"][both] - o["chi2"][both]) / o["chi2"][both]
+        la_t = np.log10(np.where(out["reg"][both] > 0, out["reg"][both],
+                                 np.nan))
+        la_o = np.log10(np.where(o["reg"][both] > 0, o["reg"][both], np.nan))
+        dla = np.abs(la_t - la_o)
+        rep.update({
+            "n_compared": int(both.sum()),
+            "nan_mismatch": int((np.isnan(out["chi2"])
+                                 != np.isnan(o["chi2"])).sum()),
+            "chi2_rel_median": float(np.median(rel)),
+            "chi2_rel_p95": float(np.percentile(rel, 95)),
+            "chi2_rel_max": float(np.max(rel)),
+            "dlog10alpha_median": float(np.nanmedian(dla)),
+            "dlog10alpha_max": float(np.nanmax(dla)),
+        })
+    print(json.dumps(rep))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    main()

@@ -70,6 +70,7 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
     # record instead of nreg + 2.
     eigA = None
     boot_Vx = None
+    final_anchor = None
     if method == "chi2" and regparam_mode == "exact" and nreg > 0:
         eigA = solve.normalized_eigh_x(AtWA_x)
         boot_Vx = eigA[1]
@@ -80,7 +81,7 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
     elif method == "chi2":
         # reference semantics: each parameter solved with all others at
         # zero (interpolate.py:120-124, 246-252)
-        def search(i):
+        def search(i, want_anchor=False):
             R_i = tuple(w[i] for w in reg_mats_x)
             tau_i = (None if reg_taus_x is None
                      else tuple(w[i] for w in reg_taus_x))
@@ -90,19 +91,31 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
                            reg_eigR[1][i]))
                 return regparam.chi2_reg_param(
                     AtWA_x, AtWb_x, btWb_x, N, R_i, tau_x=tau_i,
-                    eigA=eigA, eigR=eigR_i)
+                    eigA=eigA, eigR=eigR_i, want_anchor=want_anchor)
             f = {"exact_grid": regparam.chi2_reg_param_grid,
                  "fast": regparam.chi2_reg_param_fast}[regparam_mode]
             return f(AtWA_x, AtWb_x, btWb_x, N, R_i, tau_x=tau_i)
 
-        log_alphas = jnp.stack([search(i) for i in range(nreg)])
+        if regparam_mode == "exact" and nreg == 1:
+            # single-regularizer fast path: the search's last M-shift
+            # anchor doubles as the final solve's decomposition — the
+            # final solve happens AT the search's root, inside the
+            # anchor's trust region, so no further ladder is needed
+            root, final_anchor = search(0, want_anchor=True)
+            log_alphas = jnp.stack([root])
+        else:
+            log_alphas = jnp.stack([search(i) for i in range(nreg)])
     else:
         raise ValueError(f"method {method!r} needs per-point data; "
                          "use fit_one_record_x")
 
-    C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x,
-                                log_alphas, reg_taus_x=reg_taus_x,
-                                boot_Vx=boot_Vx)
+    if final_anchor is not None:
+        C, dC, chi2 = solve.final_solve_anchor_x(
+            final_anchor, log_alphas[0], AtWA_x, AtWb_x, btWb_x)
+    else:
+        C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x,
+                                    log_alphas, reg_taus_x=reg_taus_x,
+                                    boot_Vx=boot_Vx)
 
     # NaN-fill failed records (interpolate.py:557-563)
     bad = jnp.any(jnp.isnan(log_alphas)) if nreg > 0 else jnp.asarray(False)
@@ -279,7 +292,10 @@ def fit_records(values, errors, A, reg_mats, method: str = "chi2",
     la = np.asarray(log_alphas, np.float64)
     with np.errstate(over="ignore"):
         rp = 10.0 ** la  # -inf -> 0.0 (too smooth), NaN -> NaN
-    return C, dC, chi2, jnp.asarray(rp)
+    # rp stays HOST f64: device arrays are f32 on this TPU and raw alphas
+    # reach 1e-50 — jnp.asarray would underflow them to 0 (a reporting
+    # bug that masqueraded as 17% of a day classified too-smooth)
+    return C, dC, chi2, rp
 
 
 def fit_one_record(values, errors, A, reg_mats, method: str,

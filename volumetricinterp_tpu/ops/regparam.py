@@ -44,10 +44,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .solve import (chi2_from_eig_x, normalized_eigh_x,
-                    normalized_eigh_boot_x, exp_add, exp_mul_split,
-                    exp_hi, pow10_split, sym_pinv_apply, whiten_pencil,
-                    whitened_chi2, whitened_chi2_split,
+from . import solve
+from .solve import (anchor_chi2_x, chi2_from_eig_x, make_anchor_x,
+                    normalized_eigh_x, normalized_eigh_boot_x, exp_add,
+                    exp_mul_split, exp_hi, pow10_split, sym_pinv_apply,
+                    whiten_pencil, whitened_chi2, whitened_chi2_split,
                     whitened_chi2_tau_split)
 from .xprec import ozaki_mm
 
@@ -56,34 +57,53 @@ SCALE_FACTORS = (0.6, 0.7, 0.8, 0.9, 1.0)
 ALPHA_MIN = -100.0
 GRID_CHUNK = 8  # exact_grid: alphas evaluated per sequential round
 
-# Boot-ladder tail schedule for the defect iterations' exact
-# evaluations: the FIRST N_DEFECT_LIGHT iterations use LIGHT_TAIL
-# ('light' = window sweep + one polish round, 'mid' = + the half-size
-# cutoff-zone grading level — see solve._ladder_eigh_x), the remainder
-# the full clean/grade tail.  DEFAULT 0: every evaluation full.
-# Measured day-scale trade-offs on device (1000 synthetic records,
-# nbasis=144, vs the all-full 34.0 s day whose chi2 parity to the f64
-# oracle is median 0.78% / max 25%):
-#   all-light (9, 'light'):  22.6 s, parity median 1.26% / max 45%
-#   6 light + 3 full:        26.6 s, parity ~ all-light — a light eval
-#       that mis-signs chi2-nu near the root POISONS the bracket; the
-#       full finishing iterations cannot escape it (the safeguard clips
-#       iterates into the bracket), so trailing full evals do not
-#       recover accuracy
-#   all-mid (9, 'mid'):      28.1 s, parity median 0.79% — identical to
-#       full except 4/1000 staircase records (root flips a retention
-#       step; up to 44% chi2 there)
-# Only the scalar chi^2 consumes these decompositions; the FINAL solve
-# (outputs) always runs the full tail.
-N_DEFECT_LIGHT = 0
-LIGHT_TAIL = "mid"
-
-# 'exact' mode (chi2_reg_param): defect-corrected root iteration
+# 'exact' mode (chi2_reg_param): defect-corrected root iteration.
+# N_DEFECT exact evaluations total; the rounds listed in REANCHOR_ROUNDS
+# run a FULL boot-ladder decomposition (solve.normalized_eigh_boot_x) and
+# become the M-shift ANCHOR; every other round is an ANCHORED evaluation
+# (solve.anchor_chi2_x): exact chi^2 from the shifted exact projection,
+# no eigh, no full-size Ozaki product — the measured per-eval cost drops
+# ~180 ms -> ~20 ms per 128-record dispatch (scripts/profile_exact.py).
+# Anchored iterates are CLIPPED to ANCHOR_TRUST decades of their anchor
+# (outside it the anchor basis stops near-diagonalizing X(alpha) and the
+# CG keep-solve's convergence degrades); the mid-loop re-anchor recenters
+# the trust region at the current iterate, so the search's total reach is
+# ~ANCHOR_TRUST * N_DEFECT decades around the whitened seed — far beyond
+# the measured defect-root distances (PARITY_NOTES #4: 'exact' vs
+# 'exact_grid' max 0.036 decades).
 N_DEFECT = 9   # exact-evaluation defect iterations; each contracts the
 # root error by the local variability of D(alpha) = chi2_exact - chi2_fast
 # relative to chi2's slope (1e-1..1e-2 per step on typical records; up to
 # ~0.5 inside the cutoff transition region of straddling records), with a
 # monotone-bracket fallback bounding pathological records
+REANCHOR_ROUNDS = (0, 5)  # rounds that pay a full boot ladder
+N_POLISH = 3  # post-loop anchored rounds centered on the converged
+# root: their anchor sits AT the candidate (one extra boot ladder), so
+# every polish evaluation runs at delta ~ 0 — fresh-ladder accuracy
+# where it matters, and the final solve reuses the same anchor
+BRACKET_PAD_PER_DEC = 0.08  # decades of bracket-update slack per decade
+# of anchor distance beyond PAD_FREE_RADIUS: an anchored evaluation far
+# from its anchor carries ~1e-3..1e-2 relative chi^2 drift, enough to
+# mis-sign f = chi2 - nu near a flat crossing; a HARD bracket clamp from
+# such an evaluation is irreversible (the safeguarded step confines all
+# later iterates inside the bracket — the measured light-tail poisoning
+# failure).  Padding the clamp by the evaluation's trust-distance bounds
+# the damage while near-anchor evaluations still converge the bracket at
+# full speed.
+PAD_FREE_RADIUS = 0.25  # decades: anchored evals this close to their
+# anchor are boot-ladder-grade (measured ~1e-3 relative); no pad
+ANCHOR_TRUST = 6.0  # decades: anchored-evaluation clip radius.  The
+# M-shift projection is exact at ANY alpha; what degrades with distance
+# is (a) the keep decision (diagonal eigenvalue estimates distort in the
+# transition band) and (b) CG convergence on drift couplings — but
+# far-BELOW evals drop the drifted deep sector sub-cutoff (harmless) and
+# far-ABOVE evals only need sign-grade accuracy (chi2 >> nu there), so a
+# tight clip is wrong: measured on a cutoff-heavy CPU record, a 0.2 clip
+# pinned iterates at the trust edge for whole phases (wasting rounds and
+# driving the safeguarded bracket to a 9-decade-wrong midpoint root)
+# while anchored evaluations 19 decades out agreed with fresh ladders to
+# 1e-5 relative.  2.0 decades keeps near-root evaluations near their
+# (root-recentered) anchor without fighting the bracket logic.
 INNER_K = 64  # interior points per inner k-section round
 N_INNER_ROUNDS = 5  # bracket width 100 -> 100/65^5 ~ 9e-8 decades
 
@@ -151,7 +171,7 @@ def _ladder_outcome(chi2_floor, chi2_one, N):
 
 
 def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
-                   eigR=None):
+                   eigR=None, want_anchor=False):
     """chi2-nu regularization parameter, DEFECT-CORRECTED exact search
     (the default 'exact' mode).  Inputs are EXPANSIONS (ops/xprec.py).
 
@@ -164,11 +184,13 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
     ladder for AtWA (shared with the alpha -> 0 endpoint, the pencil
     whitening, and — via ``eigA`` — across regularization matrices and
     the caller's final solve), one cheap f32 eigh for the whitened
-    pencil G, and N_DEFECT + 1 BOOTSTRAPPED ladders (no n-size eigh):
-    the defect iterations from AtWA's basis, and the X(1) endpoint from
-    R's basis (R is record-independent, so its fresh ladder is hoisted
-    out of the record batch by vmap) or AtWA's, whichever side
-    dominates X(1) = AtWA + R.
+    pencil G, and THREE bootstrapped ladders (no n-size eigh): the X(1)
+    endpoint from R's basis (R is record-independent, so its fresh
+    ladder is hoisted out of the record batch by vmap) or AtWA's,
+    whichever side dominates X(1) = AtWA + R, plus the two RE-ANCHOR
+    rounds of the defect loop; every other defect evaluation is an
+    ANCHORED M-shift (solve.anchor_chi2_x) costing no decomposition at
+    all.
 
     ``eigA``: optional precomputed ``normalized_eigh_x(AtWA_x)`` tuple
     (w_x, Vx, s, M_x) — pass it when the caller already holds AtWA's
@@ -179,6 +201,12 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
     many dispatches (ops/fit.fit_records) memoize its ladder once per
     run instead of paying an unbatched full ladder (~0.4 s of pure eigh
     latency) inside every dispatch.
+
+    ``want_anchor``: additionally return the M-shift anchor for the
+    FINAL solve — the last re-anchor's decomposition, or (too-smooth
+    records, root = -inf -> alpha = 0) the fresh AtWA anchor, selected
+    elementwise.  solve.final_solve_anchor_x consumes it, skipping the
+    final solve's own boot ladder entirely.
 
     Returns LOG10(alpha): -inf for "too smooth" (alpha = 0,
     interpolate.py:189-191), NaN when no bracket exists
@@ -198,39 +226,50 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
     for wd in btWb_x[1:]:
         btWb_hi = btWb_hi + wd
 
-    def exact_eval(a_log, boot=True, tail="full", basis=None):
-        """Exact cutoff chi^2 at alpha = 10^a_log; defect-loop evaluations
-        bootstrap the ladder from AtWA's eigenbasis (valid because alpha R
-        perturbs the TOP modes negligibly near any root — regularization
-        acts on the deep spectrum, which the boot ladder re-resolves
-        exactly)."""
+    def anchor_at(a_log, basis=None):
+        """Full exact decomposition at alpha = 10^a_log: one BOOTSTRAPPED
+        ladder (from AtWA's eigenbasis — valid because alpha R perturbs
+        the TOP modes negligibly near any root; regularization acts on
+        the deep spectrum, which the boot ladder re-resolves exactly),
+        packaged as an M-shift anchor."""
         m, k = pow10_split(a_log)
         aR_x = exp_mul_split(R_x, m, k)
         Xx = exp_add(AtWA_x, aR_x)
-        atau_x = None if tau_x is None else exp_mul_split(tau_x, m, k)
-        if boot:
-            w_x, Vx, s, M_x = normalized_eigh_boot_x(
-                Xx, VA_x if basis is None else basis, tail=tail)
-        else:
-            w_x, Vx, s, M_x = normalized_eigh_x(Xx)
-        return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x,
-                               atau_x=atau_x)
+        eig = normalized_eigh_boot_x(Xx, VA_x if basis is None else basis)
+        return make_anchor_x(a_log, eig, R_x, AtWb_x, tau_x=tau_x)
 
     # alpha = 1 endpoint: X(1) = AtWA + R, far from AtWA's basis when R
     # dominates (the physical-units case: AtWA ~ 1e-17 ||R|| for Ne
-    # fits).  Boot from whichever side dominates the sum: R's own fresh
-    # ladder — R is record-INDEPENDENT, so under the record vmap its
-    # decomposition is unbatched and computed once per dispatch, not per
-    # record — or AtWA's when the data term dominates (dimensionless
-    # parameters with O(1) weights).  The power-of-two normalization
-    # scales sA/sR are exact order-of-magnitude proxies for the norms.
+    # fits).  NO ladder here: project X(1) onto whichever side's
+    # eigenbasis dominates the sum (R's fresh ladder is record-
+    # INDEPENDENT and memoized per dispatch; AtWA's is already in hand)
+    # and evaluate chi^2 through the coupling-aware keep-solve —
+    # chi2_from_eig_x is Galerkin-exact on the kept subspace for ANY
+    # near-eigenbasis, and the dominated side's couplings are tiny
+    # (~||AtWA||/||R|| or vice versa).  chi2_one only decides the
+    # too-smooth EVENT (chi2_one < nu), with a measured ~30x margin on
+    # real days (chi2_one ~ btWb >> nu), so ladder-grade eigenvalues
+    # buy nothing here.  The power-of-two normalization scales sA/sR
+    # are exact order-of-magnitude proxies for the norms.
     if eigR is not None:
         VR_x, sR = eigR
     else:
         _, VR_x, sR, _ = normalized_eigh_x(R_x)
     pickR = sR >= sA
     Vboot = tuple(jnp.where(pickR, r, a) for r, a in zip(VR_x, VA_x))
-    chi2_one = exact_eval(jnp.asarray(0.0, dt), basis=Vboot)
+    one_m, one_k = pow10_split(jnp.asarray(0.0, dt))
+    R1_x = exp_mul_split(R_x, one_m, one_k)
+    X1_x = exp_add(AtWA_x, R1_x)
+    s1 = solve._norm_scale_x(X1_x)
+    X1n = solve.exp_scale_pow2(X1_x, 1.0 / s1)
+    M1_x = solve._project_x(X1n, Vboot)
+    if solve._is_x64(M1_x):
+        w1_x = (jnp.diagonal(M1_x[0], axis1=-2, axis2=-1),)
+    else:
+        w1_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M1_x[:2])
+    atau1 = None if tau_x is None else exp_mul_split(tau_x, one_m, one_k)
+    chi2_one = chi2_from_eig_x(w1_x, Vboot, M1_x, AtWb_x, btWb_x, s1,
+                               aR_x=R1_x, atau_x=atau1)
     nu, is_smooth, any_event = _ladder_outcome(chi2_floor, chi2_one, N)
 
     # defect-corrected iteration, seeded at the root of chi2_fast + D0 =
@@ -249,26 +288,34 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
     r_prev = jnp.asarray(jnp.nan, dt)
     d_prev = jnp.asarray(jnp.nan, dt)
 
-    def body_with(tail):
-        def body(_, carry):
-            return _defect_body(carry, tail)
-        return body
-
-    def _defect_body(carry, tail):
+    def round_body(carry, anchor, clip_to_trust):
         lo, hi, r, r_prev, d_prev = carry
-        c_r = exact_eval(r, tail=tail)
+        if clip_to_trust:
+            # anchored evaluations stay inside the anchor's trust region;
+            # the monotone bracket stays valid at the clipped point (every
+            # anchored chi^2 is still EXACT — the M-shift projection is
+            # exact at any alpha, only the keep/CG quality degrades with
+            # distance, hence the clip)
+            r_eval = jnp.clip(r, anchor["a_log"] - ANCHOR_TRUST,
+                              anchor["a_log"] + ANCHOR_TRUST)
+        else:
+            r_eval = r
+        c_r = anchor_chi2_x(anchor, r_eval, btWb_x)
         f_r = c_r - nu
         below = f_r < 0.0
-        lo = jnp.where(below, r, lo)
-        hi = jnp.where(below, hi, r)
-        d = c_r - fast_at(r)
-        dr = r - r_prev
+        # trust-proportional bracket slack (see BRACKET_PAD_PER_DEC)
+        pad = BRACKET_PAD_PER_DEC * jnp.maximum(
+            jnp.abs(r_eval - anchor["a_log"]) - PAD_FREE_RADIUS, 0.0)
+        lo = jnp.where(below, jnp.maximum(lo, r_eval - pad), lo)
+        hi = jnp.where(below, hi, jnp.minimum(hi, r_eval + pad))
+        d = c_r - fast_at(r_eval)
+        dr = r_eval - r_prev
         slope = jnp.where(
             jnp.isfinite(d_prev) & (jnp.abs(dr) > 1e-6),
             (d - d_prev) / jnp.where(jnp.abs(dr) > 1e-6, dr, 1.0),
             0.0,
         )
-        r_new = _whitened_root_offset(lam, u, btWb_hi, nu, d, r0=r,
+        r_new = _whitened_root_offset(lam, u, btWb_hi, nu, d, r0=r_eval,
                                       slope=slope, utau=utau)
         # SAFEGUARDED step: clip the model prediction into the central
         # half of the exact bracket, so every iteration shrinks the
@@ -282,27 +329,73 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
         width = hi - lo
         r_clip = jnp.clip(r_new, lo + 0.25 * width, hi - 0.25 * width)
         r_next = jnp.where(jnp.isnan(r_new), 0.5 * (lo + hi), r_clip)
-        return lo, hi, r_next, r, d
+        return lo, hi, r_next, r_eval, d
 
     carry = (lo, hi, r, r_prev, d_prev)
-    n_light = min(max(N_DEFECT_LIGHT, 0), N_DEFECT)
-    if n_light > 0:
-        carry = lax.fori_loop(0, n_light, body_with(LIGHT_TAIL), carry)
-    lo, hi, r_last, _, _ = lax.fori_loop(
-        n_light, N_DEFECT, body_with("full"), carry)
-    # endgame: when the exact bracket has CONVERGED (narrow), the last
-    # model prediction inside it is brentq-grade (the defect model is
-    # locally accurate; measured ~1e-3 decades vs the grid search); on a
-    # still-wide bracket the model is suspect — stale predictions pinned
-    # decades from the root were the original failure mode — so fall
-    # back to the guaranteed midpoint
-    width = hi - lo
-    root = jnp.where(width < 0.2, jnp.clip(r_last, lo, hi),
-                     0.5 * (lo + hi))
+    # round 0: full boot ladder at the seed -> first anchor
+    anchor = anchor_at(carry[2])
+    carry = round_body(carry, anchor, clip_to_trust=False)
+
+    def phase1_body(_, carry):
+        return round_body(carry, anchor, clip_to_trust=True)
+
+    carry = lax.fori_loop(REANCHOR_ROUNDS[0] + 1, REANCHOR_ROUNDS[1],
+                          phase1_body, carry)
+    # mid-loop re-anchor at the current iterate: recenters the trust
+    # region wherever the bracket has moved
+    anchor = anchor_at(carry[2])
+    carry = round_body(carry, anchor, clip_to_trust=False)
+
+    def phase2_body(_, carry):
+        return round_body(carry, anchor, clip_to_trust=True)
+
+    carry = lax.fori_loop(REANCHOR_ROUNDS[1] + 1, N_DEFECT,
+                          phase2_body, carry)
+
+    def _root_of(carry):
+        # when the exact bracket has CONVERGED (narrow), the last model
+        # prediction inside it is brentq-grade (the defect model is
+        # locally accurate; measured ~1e-3 decades vs the grid search);
+        # on a still-wide bracket the model is suspect — stale
+        # predictions pinned decades from the root were the original
+        # failure mode — so fall back to the guaranteed midpoint
+        lo, hi, r_last, _, _ = carry
+        width = hi - lo
+        return jnp.where(width < 0.2, jnp.clip(r_last, lo, hi),
+                         0.5 * (lo + hi))
+
+    # ROOT-CENTERED endgame: one final re-anchor AT the converged
+    # candidate, then N_POLISH cheap anchored rounds whose evaluations
+    # run at delta ~ 0 from their anchor — fresh-ladder-grade chi^2
+    # exactly where the root lands (anchored-eval drift over the trust
+    # region was measured to scatter roots ~0.45 decades median on a
+    # real day; polishing at the root recovers the all-ladder search's
+    # placement).  The final solve reuses this anchor at delta ~ 0.
+    r_cand = jnp.clip(_root_of(carry), ALPHA_MIN, 0.0)
+    anchor = anchor_at(r_cand)
+    carry = (carry[0], carry[1], r_cand, carry[3], carry[4])
+    carry = round_body(carry, anchor, clip_to_trust=False)
+
+    def phase3_body(_, carry):
+        return round_body(carry, anchor, clip_to_trust=True)
+
+    carry = lax.fori_loop(1, N_POLISH, phase3_body, carry)
+    root = _root_of(carry)
 
     root = jnp.where(is_smooth, -jnp.inf, root)
     root = jnp.where(any_event, root, jnp.nan)
-    return root
+    if not want_anchor:
+        return root
+    # final-solve anchor: the last re-anchor's decomposition (root is
+    # within its trust region by construction on converged records), or
+    # the fresh AtWA anchor for too-smooth records (alpha = 0 solves X =
+    # AtWA, exactly the fresh decomposition's territory)
+    anchor_fresh = make_anchor_x(jnp.asarray(-jnp.inf, dt),
+                                 (wA_x, VA_x, sA, MA_x), R_x, AtWb_x,
+                                 tau_x=tau_x)
+    anchor_out = jax.tree_util.tree_map(
+        lambda f, a: jnp.where(is_smooth, f, a), anchor_fresh, anchor)
+    return root, anchor_out
 
 
 def chi2_reg_param_grid(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):

@@ -245,6 +245,11 @@ def _promote_x(V, nwords=2):
 _LADDER_MAXPQ = 6  # Ozaki chunk-product budget inside the ladder: floor
 # 2^-64 ~ 5e-20 of the normalized scale — 600x below the eps64 cutoff the
 # keep decision needs, and 33% fewer MXU products than the default 8
+_LADDER_MAXPQ_V = 5  # budget for BASIS-update products (V rotations,
+# orthonormalization): the basis itself only needs 48-bit fidelity (its
+# representation floor), so the 2^-56 truncation floor at maxpq=5 is
+# already below V's own storage error — ~25% fewer MXU products on the
+# V-side ops (M-projection products keep the full budget)
 
 
 def _project_x(Xx, Vx, nwords=3):
@@ -265,14 +270,14 @@ def _ns_orth_x(Vx):
     eigenvector mixing (contamination eta^2 * |w|max)."""
     if _is_x64(Vx):
         return Vx
-    G = ozaki_mm(_vxT(Vx), Vx, nwords=2, maxpq=_LADDER_MAXPQ)
+    G = ozaki_mm(_vxT(Vx), Vx, nwords=2, maxpq=_LADDER_MAXPQ_V)
     n = G[0].shape[-1]
     eye = jnp.eye(n, dtype=G[0].dtype)
     # D = (I - G)/2: I - G0 is exact in f32 (entries near 1 subtract by
     # Sterbenz; the rest are sign flips), /2 is a pow2 scale
     D = exp_renorm([0.5 * (eye - G[0])] + [-0.5 * w for w in G[1:]],
                    nwords=2)
-    return exp_add(Vx, ozaki_mm(Vx, D, nwords=2, maxpq=_LADDER_MAXPQ),
+    return exp_add(Vx, ozaki_mm(Vx, D, nwords=2, maxpq=_LADDER_MAXPQ_V),
                    nwords=2)
 
 
@@ -342,7 +347,7 @@ def _window_sweep_x(Vx, d_hi, M_x):
         _, Q = _block_eigh_f32(exp_hi(exp_scale_pow2(Mb, 1.0 / sc)))
         # rotate the window's basis columns and M rows/cols (exact)
         Vs = tuple(lax.dynamic_slice(w, (z0, s0), (n, win)) for w in Vx)
-        Vw = ozaki_mm(Vs, (Q,), nwords=2, maxpq=_LADDER_MAXPQ)
+        Vw = ozaki_mm(Vs, (Q,), nwords=2, maxpq=_LADDER_MAXPQ_V)
         Vx = tuple(lax.dynamic_update_slice(w, vw, (z0, s0))
                    for w, vw in zip(Vx, Vw))
         Ms = tuple(lax.dynamic_slice(w, (z0, s0), (n, win)) for w in M_x)
@@ -393,7 +398,8 @@ def _fo_polish_round_x(Xx, Vx, M_x=None):
     E = jnp.where(eye, 0.0, M) / jnp.where(jnp.abs(den) > tiny, den, tiny)
     reliable = jnp.abs(den) > 0.5 * (ad[..., None, :] + ad[..., :, None])
     DEV = jnp.where((jnp.abs(E) < _FO_GATE) & reliable & ~eye, E, 0.0)
-    Vx = exp_add(Vx, ozaki_mm(Vx, (DEV,), nwords=2, maxpq=_LADDER_MAXPQ),
+    Vx = exp_add(Vx, ozaki_mm(Vx, (DEV,), nwords=2,
+                              maxpq=_LADDER_MAXPQ_V),
                  nwords=2)
     return d, _ns_orth_x(Vx)
 
@@ -428,7 +434,7 @@ def _level_x(Xx, Vx, d_hi, k, M_x):
     s = xprec._pow2_scale(jnp.max(db)[None])[0]
     _, Q = _block_eigh_f32(exp_hi(exp_scale_pow2(Ms, 1.0 / s)))
     Vs = ozaki_mm(tuple(w[..., :, :k] for w in Vx), (Q,), nwords=2,
-                  maxpq=_LADDER_MAXPQ)
+                  maxpq=_LADDER_MAXPQ_V)
     Vx = tuple(lax.dynamic_update_slice(w, vs, (z0, z0))
                for w, vs in zip(Vx, Vs))
     # M <- Q~' M Q~ (Q~ = Q on the block columns, identity elsewhere)
@@ -656,7 +662,18 @@ def _keep_solve_x(w_x, u_x, M_x, keep, n_refine=2):
     records as chi2 ~ -1e6; chi^2 is a weighted square sum and can
     never go negative)."""
     if _is_x64(u_x):
-        return _exp_div_masked(u_x, w_x, keep)
+        # CPU/f64: direct kept-subspace solve.  M is exactly diagonal
+        # when the basis came from a native f64 eigh, but ANCHORED
+        # evaluations (anchor_chi2_x) shift M off-diagonal — solve the
+        # coupled system (Galerkin: exact for any basis of the kept
+        # subspace), identity-padding the dropped modes.
+        Mh = M_x[0]
+        n = Mh.shape[-1]
+        km = keep[..., None, :] & keep[..., :, None]
+        A = jnp.where(km, Mh, jnp.eye(n, dtype=Mh.dtype))
+        rhs = jnp.where(keep, u_x[0], 0.0)
+        z = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+        return (jnp.where(keep, z, 0.0),)
     d_hi = exp_hi(w_x)
     sd = jnp.sqrt(jnp.abs(jnp.where(keep, d_hi, 1.0)))
     sd = jnp.maximum(sd, jnp.finfo(sd.dtype).tiny)
@@ -746,6 +763,194 @@ def cutoff_chi2_x(m, k, AtWA_x, AtWb_x, btWb_x, R_x):
     Xx = exp_add(AtWA_x, aR_x)
     w_x, Vx, s, M_x = normalized_eigh_x(Xx)
     return chi2_from_eig_x(w_x, Vx, M_x, AtWb_x, btWb_x, s, aR_x=aR_x)
+
+
+# ---------------------------------------------------------------------------
+# anchored (M-shift) exact evaluations
+# ---------------------------------------------------------------------------
+#
+# The expensive object in the exact search is the ladder eigendecomposition
+# of X(alpha) = AtWA + alpha R.  But chi^2 itself never needs an eigenBASIS
+# of X(alpha) — only (a) the EXACT projection M = V' X(alpha) V in SOME
+# near-eigenbasis V (the coupling-aware _keep_solve_x solves the coupled
+# kept-subspace system, and chi^2 is Galerkin/rotation-invariant there) and
+# (b) eigenvalue ESTIMATES for the keep decision (diagonal of M, exact to
+# first order in the residual couplings).  Given ONE full decomposition of
+# X(alpha*) — the ANCHOR — the exact projection at ANY other alpha follows
+# from a matrix shift, with NO eigh and NO full-size Ozaki product:
+#
+#     M(alpha) = M* + ((alpha - alpha*)/s*) P,      P = V*' R V*,
+#
+# where P is computed once per anchor (two Ozaki products) and the shift is
+# elementwise expansion arithmetic.  Validity is a TRUST REGION in
+# log10(alpha): the anchor basis stops near-diagonalizing X(alpha) when the
+# drift couplings (|10^da - 1| relative, on regularization-dominated modes)
+# grow past what the CG keep-solve absorbs (~0.8 scaled, with its monotone
+# guard rejecting diverged passes).  Callers clip anchored evaluations to
+# |da| <= ~0.2 and re-anchor (one boot ladder) to move farther — measured
+# eigh cost on this TPU scales LINEARLY in batch (no latency to amortize),
+# so replacing per-evaluation ladders with anchored shifts is the only way
+# to cut the search's dominant cost (scripts/profile_exact.py receipts).
+
+
+def make_anchor_x(a_log, eig, R_x, AtWb_x, tau_x=None):
+    """Build an M-shift anchor from a full ladder decomposition ``eig`` =
+    (w_x, Vx, s, M_x) of X(10^a_log) = AtWA + 10^a_log R (pass
+    a_log = -inf for the pure-AtWA decomposition).  Returns the anchor
+    pytree used by anchor_chi2_x / final_solve_anchor_x."""
+    w_x, Vx, s, M_x = eig
+    P_x = _project_x(R_x, Vx)  # raw R units, exact
+    ub_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in AtWb_x), nwords=2)
+    ub_x = tuple(w[..., 0] for w in ub_x)
+    ut_x = None
+    if tau_x is not None:
+        ut_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in tau_x),
+                        nwords=2)
+        ut_x = tuple(w[..., 0] for w in ut_x)
+    dt = exp_hi(M_x).dtype
+    return {"a_log": jnp.asarray(a_log, dt), "Vx": Vx, "s": s, "M_x": M_x,
+            "P_x": P_x, "ub_x": ub_x, "ut_x": ut_x}
+
+
+def _anchor_shift_M(anchor, m, k):
+    """Exact projection M(alpha)/s* = M* + ((alpha - alpha*)/s*) P at
+    alpha = m * 2^k.  Pure elementwise expansion arithmetic."""
+    if _is_x64(anchor["M_x"]):
+        a_star = jnp.where(jnp.isneginf(anchor["a_log"]), 0.0,
+                           10.0 ** anchor["a_log"])
+        a = m * jnp.exp2(jnp.asarray(k, jnp.float64))
+        return (anchor["M_x"][0]
+                + ((a - a_star) / anchor["s"]) * anchor["P_x"][0],)
+    m_s, k_s = pow10_split(anchor["a_log"])
+    T_new = exp_mul_split(anchor["P_x"], m, k)
+    T_old = exp_mul_split(anchor["P_x"], m_s, k_s)
+    dT = exp_add(T_new, exp_neg(T_old), nwords=3)
+    dT = exp_scale_pow2(dT, 1.0 / anchor["s"])
+    return exp_add(anchor["M_x"], dT, nwords=3)
+
+
+def _pow2_exp_i(s):
+    """Integer exponent j of an exact power-of-two scale s = 2^j (f32
+    log2 of an exact pow2 is exact).  Used to fold normalization-scale
+    divisions into mul_pow2i exponent arithmetic: raw 1/s**2 UNDERFLOWS
+    f32 on physical-unit records (measured s ~ 7e-21 -> s*s ~ 5e-41,
+    denormal; the division then poisoned every anchored chi^2 with a
+    2^34-grade garbage reg term on a real day)."""
+    return jnp.round(jnp.log2(s)).astype(jnp.int32)
+
+
+def anchor_chi2_x(anchor, a_log, btWb_x):
+    """Exact-cutoff chi^2 at alpha = 10^a_log from the anchor (NO eigh, no
+    full-size product).  Reference semantics preserved: keep =
+    |w| > eps64 * max|w| with w the exact Rayleigh diagonal of M(alpha);
+    residual couplings are absorbed by the coupling-aware keep-solve
+    exactly as in the laddered path (chi^2 is invariant under rotations
+    within the kept subspace).  Valid inside the anchor's trust region."""
+    m, k = pow10_split(a_log)
+    M_x = _anchor_shift_M(anchor, m, k)
+    w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
+    aw = jnp.abs(exp_hi(w_x))
+    keep = aw > EPS64 * jnp.max(aw)
+    if anchor["ut_x"] is None:
+        u_x = anchor["ub_x"]
+    else:
+        at = exp_mul_split(anchor["ut_x"], m, k)
+        u_x = exp_add(anchor["ub_x"], at, nwords=2)
+    z_x = _keep_solve_x(w_x, u_x, M_x, keep)
+    s = anchor["s"]
+    S_x = xprec.exp_dot(anchor["ub_x"], z_x, nwords=2)
+    S_x = exp_scale_pow2(S_x, 1.0 / s)
+    diff = exp_add(btWb_x, exp_neg(S_x), nwords=2)
+    chi2 = diff[0]
+    for wd in diff[1:]:
+        chi2 = chi2 + wd
+    # - alpha C'RC (+ alpha C'tau), with C'RC = z'Pz / s^2 and
+    # C'tau = z'ut / s — no need to materialize C.  The /s and /s^2 go
+    # through mul_pow2i exponent arithmetic (see _pow2_exp_i).
+    Pz = exp_hi(ozaki_mm(anchor["P_x"], tuple(z[..., None] for z in z_x),
+                         nwords=1))[..., 0]
+    zPz = exp_hi(z_x) @ Pz
+    if zPz.dtype == jnp.float64:
+        a_raw = m * jnp.exp2(jnp.asarray(k, jnp.float64))
+        chi2 = chi2 - a_raw * zPz / (s * s)
+        if anchor["ut_x"] is not None:
+            zu = (exp_hi(z_x) @ exp_hi(anchor["ut_x"])) / s
+            chi2 = chi2 + a_raw * zu
+        return chi2
+    j = _pow2_exp_i(s)
+    chi2 = chi2 - mul_pow2i(m * zPz, k - 2 * j)
+    if anchor["ut_x"] is not None:
+        zu = exp_hi(z_x) @ exp_hi(anchor["ut_x"])
+        chi2 = chi2 + mul_pow2i(m * zu, k - j)
+    return chi2
+
+
+def final_solve_anchor_x(anchor, a_log, AtWA_x, AtWb_x, btWb_x):
+    """Coefficients, covariance and chi^2 at alpha = 10^a_log from the
+    anchor (single-regularizer fast path of final_solve_x: same dual
+    cutoffs, same cancellation-free chi^2 — but no fresh ladder; the
+    search's last anchor is reused at its own root).  -inf encodes
+    alpha = 0 (too-smooth early exit)."""
+    m, k = pow10_split(a_log)
+    M_x = _anchor_shift_M(anchor, m, k)
+    w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
+    w_hi = exp_hi(w_x)
+    aw = jnp.abs(w_hi)
+    wmax = jnp.max(aw)
+    n = w_hi.shape[-1]
+    keep_C = aw > EPS64 * wmax
+    keep_H = aw > float(n) * EPS64 * wmax
+    u_x = anchor["ub_x"]
+    if anchor["ut_x"] is not None:
+        u_x = exp_add(u_x, exp_mul_split(anchor["ut_x"], m, k), nwords=2)
+    z_x = _keep_solve_x(w_x, u_x, M_x, keep_C)
+    s = anchor["s"]
+    Vx = anchor["Vx"]
+    is64 = exp_hi(M_x).dtype == jnp.float64
+    j = None if is64 else _pow2_exp_i(s)
+    C_raw = exp_hi(ozaki_mm(Vx, tuple(z[..., None] for z in z_x),
+                            nwords=1))[..., 0]
+    C = C_raw / s if is64 else mul_pow2i(C_raw, -j)
+    # covariance: f32-grade by contract (see final_solve_x) — but
+    # COUPLING-AWARE: the anchor basis is not an eigenbasis of X(root),
+    # so H must invert the kept BLOCK of M, not its diagonal (Galerkin:
+    # basis-invariant on the kept subspace; a diagonal inverse leaves
+    # ~0.5% basis-drift noise in predicted field variances, measured)
+    V = exp_hi(Vx)
+    Mh = exp_hi(M_x)
+    nI = jnp.eye(n, dtype=Mh.dtype)
+    kmH = keep_H[..., None, :] & keep_H[..., :, None]
+    Minv = jnp.linalg.inv(jnp.where(kmH, Mh, nI))
+    Minv = jnp.where(kmH, Minv, 0.0)
+    VA = V.T if V.ndim == 2 else jnp.swapaxes(V, -1, -2)
+    # AtWA in NORMALIZED units (raw/s**2 underflows f32 — _pow2_exp_i)
+    AtWA_n = (exp_hi(AtWA_x) / s if is64
+              else mul_pow2i(exp_hi(AtWA_x), -j))
+    G = (VA @ AtWA_n) @ V
+    Hmid = Minv @ G @ Minv
+    dC = (V @ Hmid @ VA) / s if is64 \
+        else mul_pow2i(V @ Hmid @ VA, -j)
+    # chi^2 = btWb - z'ub/s - alpha z'Pz/s^2 + alpha z'ut/s
+    S_x = xprec.exp_dot(anchor["ub_x"], z_x, nwords=2)
+    S_x = exp_scale_pow2(S_x, 1.0 / s)
+    diff = exp_add(btWb_x, exp_neg(S_x), nwords=2)
+    chi2 = diff[0]
+    for wd in diff[1:]:
+        chi2 = chi2 + wd
+    Pz = exp_hi(ozaki_mm(anchor["P_x"], tuple(z[..., None] for z in z_x),
+                         nwords=1))[..., 0]
+    zPz = exp_hi(z_x) @ Pz
+    if is64:
+        a_raw = m * jnp.exp2(jnp.asarray(k, jnp.float64))
+        chi2 = chi2 - a_raw * zPz / (s * s)
+        if anchor["ut_x"] is not None:
+            chi2 = chi2 + a_raw * (exp_hi(z_x) @ exp_hi(anchor["ut_x"])) / s
+        return C, dC, chi2
+    chi2 = chi2 - mul_pow2i(m * zPz, k - 2 * j)
+    if anchor["ut_x"] is not None:
+        zu = exp_hi(z_x) @ exp_hi(anchor["ut_x"])
+        chi2 = chi2 + mul_pow2i(m * zu, k - j)
+    return C, dC, chi2
 
 
 def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params,

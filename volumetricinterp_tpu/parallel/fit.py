@@ -46,9 +46,10 @@ def _pad_to(x, n, axis, fill):
 
 
 def _log_to_raw(log_alphas):
+    # HOST f64 result: device f32 would underflow raw alphas < ~1e-38
     la = np.asarray(log_alphas, np.float64)
     with np.errstate(over="ignore"):
-        return jnp.asarray(10.0 ** la)
+        return 10.0 ** la
 
 
 def fit_records_sharded(values, errors, A, reg_mats, mesh: Mesh,
