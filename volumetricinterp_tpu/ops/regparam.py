@@ -76,7 +76,10 @@ N_DEFECT = 9   # exact-evaluation defect iterations; each contracts the
 # relative to chi2's slope (1e-1..1e-2 per step on typical records; up to
 # ~0.5 inside the cutoff transition region of straddling records), with a
 # monotone-bracket fallback bounding pathological records
-REANCHOR_ROUNDS = (0, 5)  # rounds that pay a full boot ladder
+REANCHOR_ROUNDS = (0,)  # rounds that pay a full boot ladder.  With the
+# 6-decade trust radius and the root-centered endgame re-anchor, a
+# mid-loop re-anchor is redundant (A/B'd at day scale: see the commit
+# trail); the seed anchor covers the defect loop alone.
 N_POLISH = 3  # post-loop anchored rounds centered on the converged
 # root: their anchor sits AT the candidate (one extra boot ladder), so
 # every polish evaluation runs at delta ~ 0 — fresh-ladder accuracy
@@ -332,25 +335,25 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
         return lo, hi, r_next, r_eval, d
 
     carry = (lo, hi, r, r_prev, d_prev)
-    # round 0: full boot ladder at the seed -> first anchor
-    anchor = anchor_at(carry[2])
-    carry = round_body(carry, anchor, clip_to_trust=False)
+    # re-anchor rounds pay a full boot ladder; every other round is an
+    # anchored M-shift on the most recent anchor
+    next_round = 0
+    for ra in REANCHOR_ROUNDS:
+        if ra > next_round:
 
-    def phase1_body(_, carry):
-        return round_body(carry, anchor, clip_to_trust=True)
+            def phase_body(_, carry, _anchor=anchor):
+                return round_body(carry, _anchor, clip_to_trust=True)
 
-    carry = lax.fori_loop(REANCHOR_ROUNDS[0] + 1, REANCHOR_ROUNDS[1],
-                          phase1_body, carry)
-    # mid-loop re-anchor at the current iterate: recenters the trust
-    # region wherever the bracket has moved
-    anchor = anchor_at(carry[2])
-    carry = round_body(carry, anchor, clip_to_trust=False)
+            carry = lax.fori_loop(next_round, ra, phase_body, carry)
+        anchor = anchor_at(carry[2])
+        carry = round_body(carry, anchor, clip_to_trust=False)
+        next_round = ra + 1
+    if N_DEFECT > next_round:
 
-    def phase2_body(_, carry):
-        return round_body(carry, anchor, clip_to_trust=True)
+        def tail_body(_, carry):
+            return round_body(carry, anchor, clip_to_trust=True)
 
-    carry = lax.fori_loop(REANCHOR_ROUNDS[1] + 1, N_DEFECT,
-                          phase2_body, carry)
+        carry = lax.fori_loop(next_round, N_DEFECT, tail_body, carry)
 
     def _root_of(carry):
         # when the exact bracket has CONVERGED (narrow), the last model
