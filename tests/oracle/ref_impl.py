@@ -156,8 +156,10 @@ def oracle_chi2_param(A, b, W, reg_mats, which):
 
 def oracle_gcv_param(A0, b0, W0, reg_mats, which):
     def obj(alpha_log):
+        # scipy passes a shape-(1,) array; ndim>0 -> float is deprecated
+        a_log = float(np.asarray(alpha_log).reshape(-1)[0])
         params = [
-            10.0 ** float(alpha_log) if i == which else 0.0
+            10.0 ** a_log if i == which else 0.0
             for i in range(len(reg_mats))
         ]
         residuals = []

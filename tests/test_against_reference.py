@@ -22,6 +22,12 @@ from volumetricinterp_tpu.config import Config
 from volumetricinterp_tpu.io.synth import write_synthetic_amisr
 from volumetricinterp_tpu.models.sphharmlag import Model
 
+
+def _utc(ts):
+    """Naive-UTC datetime from a unix stamp (the package API's
+    convention; utcfromtimestamp is deprecated)."""
+    return dt.datetime(1970, 1, 1) + dt.timedelta(seconds=float(ts))
+
 pytestmark = pytest.mark.skipif(
     not os.path.isdir("/root/reference/volumetricinterp"),
     reason="reference checkout not available",
@@ -128,7 +134,7 @@ def test_reference_file_reads_through_our_estimate(setup):
     assert est.model.nbasis == ref.model.nbasis
     ok = np.where(np.isfinite(ref.chi_sq))[0]
     r = int(ok[0])
-    t_mid = dt.datetime.utcfromtimestamp(np.mean(ref.time[r]))
+    t_mid = _utc(np.mean(ref.time[r]))
     lat = np.linspace(74.5, 76.5, 6)
     lon = np.full(6, 265.0)
     alt = np.full(6, 300e3)
@@ -144,7 +150,7 @@ def test_our_file_reads_through_reference_estimate(setup):
     est_ref = ref_mod.Estimate(setup["out_ours"])
     ok = np.where(np.isfinite(ours.chi_sq))[0]
     r = int(ok[0])
-    t_mid = dt.datetime.utcfromtimestamp(np.mean(ours.time[r]))
+    t_mid = _utc(np.mean(ours.time[r]))
     lat = np.linspace(74.8, 76.0, 5)
     lon = np.full(5, 265.0)
     alt = np.full(5, 300e3)

@@ -16,6 +16,12 @@ from volumetricinterp_tpu.utils.hull import check_hull_reference
 from tests.oracle import oracle_fit_record
 
 
+def _utc(ts):
+    """Naive-UTC datetime from a unix stamp (the package API's
+    convention; utcfromtimestamp is deprecated)."""
+    return dt.datetime(1970, 1, 1) + dt.timedelta(seconds=float(ts))
+
+
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory, small_config_text):
     """Synthetic file + config wired to tmp paths, plus a full fit run."""
@@ -85,7 +91,7 @@ def test_estimate_round_trip(workspace):
     assert est.model.nbasis == interp.model.nbasis
 
     r = int(np.argmax(np.isfinite(interp.chi_sq)))
-    t_mid = dt.datetime.utcfromtimestamp(np.mean(interp.time[r]))
+    t_mid = _utc(np.mean(interp.time[r]))
 
     lat = np.linspace(74.5, 76.5, 8)
     lon = np.full(8, 265.0)
@@ -99,7 +105,7 @@ def test_estimate_round_trip(workspace):
 def test_estimate_hull_masking(workspace):
     est = Estimate(workspace["out"])
     r = int(np.argmax(np.isfinite(est.chi2)))
-    t_mid = dt.datetime.utcfromtimestamp(np.mean(est.time[r]))
+    t_mid = _utc(np.mean(est.time[r]))
     # far outside the FoV -> NaN; inside -> finite
     lat = np.array([74.9, 40.0])
     lon = np.array([265.0, 100.0])
@@ -137,11 +143,11 @@ def test_estimate_time_selection(workspace):
     est = Estimate(workspace["out"], timetol=60.0)
     mt = np.mean(est.time, axis=1)
     # nearest-record selection
-    t = dt.datetime.utcfromtimestamp(mt[2] + 5.0)
+    t = _utc(mt[2] + 5.0)
     C, dC = est.get_C(t)
     np.testing.assert_array_equal(C, est.Coeffs[2])
     # out of tolerance -> ValueError (estimate.py:218-219)
-    t_far = dt.datetime.utcfromtimestamp(mt[-1] + 1e5)
+    t_far = _utc(mt[-1] + 1e5)
     with pytest.raises(ValueError):
         est.get_C(t_far)
 
@@ -150,7 +156,7 @@ def test_estimate_time_interp(workspace):
     est = Estimate(workspace["out"], timeinterp=True)
     mt = np.mean(est.time, axis=1)
     tq = mt[1] + 0.25 * (mt[2] - mt[1])
-    C, dC = est.get_C(dt.datetime.utcfromtimestamp(tq))
+    C, dC = est.get_C(_utc(tq))
     expected = 0.75 * est.Coeffs[1] + 0.25 * est.Coeffs[2]
     np.testing.assert_allclose(np.asarray(C), expected, rtol=1e-12)
 
@@ -159,7 +165,7 @@ def test_estimate_gradients_and_errors(workspace):
     """calcgrad/calcerr implemented for real (docs/PARITY_NOTES.md #5)."""
     est = Estimate(workspace["out"])
     r = int(np.argmax(np.isfinite(est.chi2)))
-    t_mid = dt.datetime.utcfromtimestamp(np.mean(est.time[r]))
+    t_mid = _utc(np.mean(est.time[r]))
     lat = np.linspace(74.6, 75.4, 5)
     lon = np.full(5, 265.0)
     alt = np.full(5, 300e3)
@@ -183,7 +189,7 @@ def test_grid_eval_fast_path_matches_f64(workspace):
     """float32 fused grid evaluation vs the float64 basis path."""
     est = Estimate(workspace["out"])
     r = int(np.argmax(np.isfinite(est.chi2)))
-    t_mid = dt.datetime.utcfromtimestamp(np.mean(est.time[r]))
+    t_mid = _utc(np.mean(est.time[r]))
     glat, glon, galt = np.meshgrid(
         np.linspace(73.5, 77.0, 12), np.linspace(260.0, 270.0, 12),
         np.linspace(150e3, 500e3, 6),
@@ -199,7 +205,7 @@ def test_evaluate_records_keogram(workspace):
     est = Estimate(workspace["out"])
     ok = np.isfinite(est.chi2)
     mts = np.mean(est.time, axis=1)[ok][:3]
-    times = [dt.datetime.utcfromtimestamp(t) for t in mts]
+    times = [_utc(t) for t in mts]
     glat, glon, galt = np.meshgrid(
         np.linspace(74.0, 76.5, 10), np.linspace(262.0, 268.0, 10),
         np.array([250e3, 300e3]),
