@@ -111,6 +111,33 @@ def test_ladder_resolves_deep_spectrum(noise):
         assert rel32.max() > 10 * _matched_rel(w, w_true, 1e-10 * mx).max()
 
 
+def test_phased_sweep_resolves_deep_spectrum():
+    """The phase-batched window sweep (non-default; ships off because it
+    measured SLOWER on this TPU — no eigh latency floor to amortize)
+    must stay correct: its 3-phase repair schedule preserves the
+    descending final-writer order, so the deep half resolves within the
+    same loosened bar as the sequential sweep (a naive even/odd split
+    fails this at 0.73)."""
+    solve._EIGH_EMULATED_RESID = 2e-5
+    assert solve._sweep_phases(144) == [[96, 48, 0], [72, 24], [48, 0]]
+    assert solve._sweep_phases(40) == [[0]]
+    old = solve._SWEEP_PHASED
+    solve._SWEEP_PHASED = True
+    try:
+        rng = np.random.default_rng(11)
+        n = 144
+        X = _spd_logspectrum(rng, n, 18)
+        Xn = X / (np.trace(X) / n)
+        w_true = np.sort(np.linalg.eigvalsh(Xn))
+        w_x, _, _ = _ladder_eigh_x(_as_x(Xn))
+        w = _exp_val(w_x)
+        mx = np.abs(w_true).max()
+        assert _matched_rel(w, w_true, 1e-4 * mx).max() < 5e-2
+        assert _matched_rel(w, w_true, 1e-10 * mx).max() < 0.5
+    finally:
+        solve._SWEEP_PHASED = old
+
+
 def test_boot_ladder_tracks_perturbed_matrix():
     """Bootstrapping from a nearby matrix's ladder basis resolves the
     perturbed matrix's deep spectrum without a fresh full-size eigh."""

@@ -225,7 +225,10 @@ def _block_eigh_f32(M):
         i = jnp.arange(n, dtype=jnp.float32)
         eta = jnp.sin(3.7 * i[:, None] + 1.3 * i[None, :] + 0.61)
         eta = 0.5 * (eta + eta.T)
-        scale = jnp.max(jnp.abs(M)) * jnp.float32(_EIGH_EMULATED_RESID)
+        # per-matrix max so batched-block calls (the phased window sweep
+        # stacks windows on a leading axis) perturb each block at ITS scale
+        scale = jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True) \
+            * jnp.float32(_EIGH_EMULATED_RESID)
         M = M + scale * eta
     return jnp.linalg.eigh(M)
 
@@ -365,6 +368,99 @@ def _window_sweep_x(Vx, d_hi, M_x):
     return d_hi, Vx, M_x
 
 
+import os as _os
+
+_SWEEP_PHASED = _os.environ.get("VITPU_SWEEP_PHASED", "0") == "1"
+# Phase-batched window sweep (below) — MEASURED SLOWER on this TPU, ships
+# OFF.  Premise was a per-eigh-call latency floor to amortize; in fact
+# eigh cost scales linearly in batch (same receipts as the anchored-eval
+# design), so batching the 5 sequential 48-wide eighs into 3 batched
+# calls saves nothing while the repair schedule's re-run phase does 7/5
+# of the window updates.  A/B at day scale (scripts/day_check.py, 1000
+# real-basis records, same oracle): sequential 9.87 s / chi2-vs-f64
+# median 2.27%, phased 10.22 s / 2.21% — parity equal, wall-clock worse.
+# Kept selectable for hardware where small-batch eigh IS latency-floored.
+
+
+def _sweep_phases(n):
+    """Disjoint-window phases of the sweep: windows whose index ranges do
+    not overlap share one batched eigh.
+
+    The descending sweep is a repair CHAIN — each window must be the
+    final writer of the previous (shallower) window's bottom ~decade, so
+    the edges s_0 -> s_1 -> ... admit no exact 2-coloring (a plain
+    even/odd split leaves the odd windows' bottoms at their own shallow
+    floors; measured on the 18-decade test spectrum: deep-half matched
+    error 3.6e-2 -> 0.73).  The three-phase schedule [evens, odds,
+    evens-minus-first] re-runs the deeper even windows AFTER the odds,
+    making the FINAL writer of every position range identical in depth
+    order to the sequential sweep: at n=144 -> [[96, 48, 0], [72, 24],
+    [48, 0]] (3 batched eigh calls instead of 5 sequential).  Windows
+    within a phase are 2 * _WSTRIDE = _WIN apart: disjoint."""
+    starts = _window_starts(n)
+    if len(starts) == 1:
+        return [starts]
+    evens = starts[0::2]
+    odds = starts[1::2]
+    phases = [evens, odds]
+    if len(evens) > 1:
+        phases.append(evens[1:])
+    return phases
+
+
+def _window_sweep_phased_x(Vx, d_hi, M_x):
+    """Phase-batched variant of _window_sweep_x: disjoint windows share
+    ONE batched eigh and batched skinny Ozaki products.  Eigh cost on
+    this TPU scales linearly in batch above a ~10 ms per-CALL latency
+    floor (scripts/profile_exact.py receipts), so collapsing the five
+    sequential 48-wide calls at n=144 into two batched calls is pure
+    dispatch-latency recovery at identical FLOPs.
+
+    Exactness: within a phase the combined rotation is block-diagonal
+    orthogonal, so applying ALL column updates (sliced from the
+    pre-phase M — ranges are disjoint) and then ALL row updates (from
+    the column-updated M) is exactly Q' M Q.  The 3-phase schedule (see
+    _sweep_phases) makes the final writer of every position range
+    identical in depth order to the sequential sweep, so the repaired
+    floors match (measured: deep-half matched error equal to the
+    sequential sweep's on the 18-decade test spectrum, where a naive
+    2-phase split blew it 3.6e-2 -> 0.73)."""
+    n = d_hi.shape[-1]
+    order = jnp.argsort(jnp.abs(d_hi))
+    Vx = tuple(jnp.take(w, order, axis=-1) for w in Vx)
+    M_x = tuple(jnp.take(jnp.take(w, order, axis=-1), order, axis=-2)
+                for w in M_x)
+    win = min(_WIN, n)
+    for phase in _sweep_phases(n):
+        Mb = tuple(jnp.stack([w[..., s:s + win, s:s + win] for s in phase],
+                             axis=-3) for w in M_x)  # [.., nph, win, win]
+        db = jnp.abs(jnp.diagonal(exp_hi(Mb), axis1=-2, axis2=-1))
+        sc = xprec._pow2_scale(jnp.max(db, axis=-1))  # [.., nph]
+        _, Q = _block_eigh_f32(exp_hi(exp_scale_pow2(
+            Mb, 1.0 / sc[..., None, None])))
+        Vs = tuple(jnp.stack([w[..., :, s:s + win] for s in phase], axis=-3)
+                   for w in Vx)
+        Vw = ozaki_mm(Vs, (Q,), nwords=2, maxpq=_LADDER_MAXPQ_V)
+        for i, s in enumerate(phase):
+            Vx = tuple(w.at[..., :, s:s + win].set(vw[..., i, :, :])
+                       for w, vw in zip(Vx, Vw))
+        Ms = tuple(jnp.stack([w[..., :, s:s + win] for s in phase], axis=-3)
+                   for w in M_x)
+        Mc = ozaki_mm(Ms, (Q,), nwords=3, maxpq=_LADDER_MAXPQ)
+        for i, s in enumerate(phase):
+            M_x = tuple(w.at[..., :, s:s + win].set(mc[..., i, :, :])
+                        for w, mc in zip(M_x, Mc))
+        Mt = tuple(jnp.stack([w[..., s:s + win, :] for s in phase], axis=-3)
+                   for w in M_x)
+        Mr = ozaki_mm((jnp.swapaxes(Q, -1, -2),), Mt, nwords=3,
+                      maxpq=_LADDER_MAXPQ)
+        for i, s in enumerate(phase):
+            M_x = tuple(w.at[..., s:s + win, :].set(mr[..., i, :, :])
+                        for w, mr in zip(M_x, Mr))
+    d_hi = jnp.diagonal(exp_hi(M_x), axis1=-2, axis2=-1)
+    return d_hi, Vx, M_x
+
+
 _FO_GATE = 0.1  # first-order corrections only below this |coupling/gap|
 
 
@@ -500,8 +596,9 @@ def _ladder_eigh_x(Xx, boot_Vx=None, tail="full"):
     d_hi = jnp.diagonal(exp_hi(M_x), axis1=-2, axis2=-1)
     for k in levels:
         d_hi, Vx, M_x = _level_x(Xx, Vx, d_hi, k, M_x)
+    sweep = _window_sweep_phased_x if _SWEEP_PHASED else _window_sweep_x
     for _ in range(_N_SWEEPS):
-        d_hi, Vx, M_x = _window_sweep_x(Vx, d_hi, M_x)
+        d_hi, Vx, M_x = sweep(Vx, d_hi, M_x)
     if tail == "light" and boot_Vx is not None:
         d_hi, Vx = _fo_polish_round_x(Xx, Vx, M_x=M_x)
         M_x = _project_x(Xx, Vx)
@@ -839,13 +936,18 @@ def _pow2_exp_i(s):
     return jnp.round(jnp.log2(s)).astype(jnp.int32)
 
 
-def anchor_chi2_x(anchor, a_log, btWb_x):
+def anchor_chi2_x(anchor, a_log, btWb_x, n_refine=2):
     """Exact-cutoff chi^2 at alpha = 10^a_log from the anchor (NO eigh, no
     full-size product).  Reference semantics preserved: keep =
     |w| > eps64 * max|w| with w the exact Rayleigh diagonal of M(alpha);
     residual couplings are absorbed by the coupling-aware keep-solve
     exactly as in the laddered path (chi^2 is invariant under rotations
-    within the kept subspace).  Valid inside the anchor's trust region."""
+    within the kept subspace).  Valid inside the anchor's trust region.
+
+    ``n_refine``: keep-solve refinement passes.  The default (2) is the
+    full-accuracy contract; searches whose evaluations only steer a
+    safeguarded bracket can pass 0 (one guarded CG pass — sign-grade,
+    ~2.5x cheaper; see ops/regparam.N_REFINE_DEFECT receipts)."""
     m, k = pow10_split(a_log)
     M_x = _anchor_shift_M(anchor, m, k)
     w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
@@ -856,7 +958,7 @@ def anchor_chi2_x(anchor, a_log, btWb_x):
     else:
         at = exp_mul_split(anchor["ut_x"], m, k)
         u_x = exp_add(anchor["ub_x"], at, nwords=2)
-    z_x = _keep_solve_x(w_x, u_x, M_x, keep)
+    z_x = _keep_solve_x(w_x, u_x, M_x, keep, n_refine=n_refine)
     s = anchor["s"]
     S_x = xprec.exp_dot(anchor["ub_x"], z_x, nwords=2)
     S_x = exp_scale_pow2(S_x, 1.0 / s)
