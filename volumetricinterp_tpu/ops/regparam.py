@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -111,6 +113,17 @@ INNER_K = 64  # interior points per inner k-section round
 N_INNER_ROUNDS = 5  # bracket width 100 -> 100/65^5 ~ 9e-8 decades
 
 DEFECT_MODEL_RANGE = 0.5  # decades: linear D-model trust region around r0
+
+N_REFINE_DEFECT = int(os.environ.get("VITPU_NREFINE_DEFECT", "0"))
+# keep-solve refinement passes for DEFECT-LOOP evaluations (the endgame
+# re-anchor + polish rounds always run the full-accuracy 2): these
+# evaluations only steer the safeguarded bracket and the local defect
+# model — both re-converged by the root-centered endgame — so one
+# guarded CG pass (n_refine=0, ~2.5x cheaper per eval) suffices.
+# Receipts (scripts/day_check.py, 1000 real-basis records, same oracle):
+# n_refine=2 day 9.87 s / chi2-vs-f64 median 2.27% max 0.45;
+# n_refine=0 day 9.37 s / median 2.28% max 0.31 — equal parity (the max
+# actually improves: one fewer cutoff-straddling record mis-steered).
 
 
 def _whitened_root_offset(lam, u, btWb, nu, d, r0=None, slope=None,
@@ -291,7 +304,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
     r_prev = jnp.asarray(jnp.nan, dt)
     d_prev = jnp.asarray(jnp.nan, dt)
 
-    def round_body(carry, anchor, clip_to_trust):
+    def round_body(carry, anchor, clip_to_trust, n_refine=2):
         lo, hi, r, r_prev, d_prev = carry
         if clip_to_trust:
             # anchored evaluations stay inside the anchor's trust region;
@@ -303,7 +316,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
                               anchor["a_log"] + ANCHOR_TRUST)
         else:
             r_eval = r
-        c_r = anchor_chi2_x(anchor, r_eval, btWb_x)
+        c_r = anchor_chi2_x(anchor, r_eval, btWb_x, n_refine=n_refine)
         f_r = c_r - nu
         below = f_r < 0.0
         # trust-proportional bracket slack (see BRACKET_PAD_PER_DEC)
@@ -342,16 +355,19 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
         if ra > next_round:
 
             def phase_body(_, carry, _anchor=anchor):
-                return round_body(carry, _anchor, clip_to_trust=True)
+                return round_body(carry, _anchor, clip_to_trust=True,
+                                  n_refine=N_REFINE_DEFECT)
 
             carry = lax.fori_loop(next_round, ra, phase_body, carry)
         anchor = anchor_at(carry[2])
-        carry = round_body(carry, anchor, clip_to_trust=False)
+        carry = round_body(carry, anchor, clip_to_trust=False,
+                           n_refine=N_REFINE_DEFECT)
         next_round = ra + 1
     if N_DEFECT > next_round:
 
         def tail_body(_, carry):
-            return round_body(carry, anchor, clip_to_trust=True)
+            return round_body(carry, anchor, clip_to_trust=True,
+                              n_refine=N_REFINE_DEFECT)
 
         carry = lax.fori_loop(next_round, N_DEFECT, tail_body, carry)
 
