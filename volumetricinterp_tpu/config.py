@@ -50,6 +50,11 @@ class FitConfig:
     errlim: list = field(default_factory=lambda: [1e10, 1e13])
     goodfitcode: list = field(default_factory=lambda: [1, 2, 3, 4])
     chi2lim: list = field(default_factory=lambda: [0.1, 10.0])
+    # time-dependent coefficients (ops/timesmooth.py — the reference's
+    # "Adapt model to fit for time" TODO, sphharmlag.py:17):
+    # TIME_SMOOTHING = gcv | <lambda float>; empty disables
+    time_smoothing: str = ""
+    time_knots: int = 0  # spline segments; 0 = auto (~nrec/4)
 
 
 @dataclass
@@ -168,6 +173,10 @@ class Config:
             fit.goodfitcode = _parse_int_list(d.get("GOODFITCODE"))
         if "CHI2LIM" in d:
             fit.chi2lim = _parse_float_list(d.get("CHI2LIM"))
+        if "TIME_SMOOTHING" in d:
+            fit.time_smoothing = d.get("TIME_SMOOTHING")
+        if "TIME_KNOTS" in d:
+            fit.time_knots = int(d.get("TIME_KNOTS"))
 
         model = ModelConfig()
         if cp.has_section("MODEL"):

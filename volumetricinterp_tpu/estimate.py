@@ -27,10 +27,18 @@ from .utils.hull import hull_equations
 
 class Estimate:
     def __init__(self, coeff_filename, timetol=60.0, timeinterp=False):
+        """timeinterp: False (nearest record within timetol, reference
+        default), True (linear between bracketing records), or 'spline'
+        (continuous time-smoothed coefficients from the file's /TimeFit
+        payload — requires a fit run with TIME_SMOOTHING set)."""
         self.timetol = timetol
         self.timeinterp = timeinterp
 
         self.loadh5(filename=coeff_filename)
+        if timeinterp == "spline" and self.timefit is None:
+            raise ValueError(
+                "timeinterp='spline' needs a /TimeFit payload; re-run the "
+                "fit with [DEFAULT] TIME_SMOOTHING set (gcv or a number)")
 
         # reconstruct the identical Model from the embedded config text
         # (reference estimate.py:41-50)
@@ -53,6 +61,7 @@ class Estimate:
         self.config_file_text = d["config_file_text"]
         self.chi2 = d.get("chi2")
         self.raw_filename = d.get("raw_filename")
+        self.timefit = d.get("timefit")
 
     def __call__(self, time, gdlat, gdlon, gdalt, calcgrad=False, calcerr=False,
                  check_hull=True):
@@ -109,10 +118,20 @@ class Estimate:
     def get_C(self, t):
         """Coefficients for a requested time (reference estimate.py:180-221).
 
-        Nearest record within timetol, or linear interpolation between the
-        two bracketing record mid-times when timeinterp=True."""
+        Nearest record within timetol, linear interpolation between the
+        two bracketing record mid-times when timeinterp=True, or the
+        continuous time spline when timeinterp='spline' (covariance then
+        comes from the nearest record: the spline smooths the coefficient
+        TRAJECTORY; per-record error bars remain the honest uncertainty)."""
         t0 = (t - dt.datetime(1970, 1, 1)).total_seconds()
         mt = np.mean(self.time, axis=1)
+
+        if self.timeinterp == "spline":
+            from .ops.timesmooth import eval_time_spline
+
+            C = eval_time_spline(self.timefit, t0)  # raises out of range
+            dC = self.Covariance[np.argmin(np.abs(mt - t0))]
+            return C, dC
 
         try:
             if self.timeinterp:

@@ -428,6 +428,21 @@ class Interpolate:
         self.chi_sq = c2_all
         self.reg_params = rp_all
 
+        self.timefit = None
+        if self.config.fit.time_smoothing:
+            with self.timer.phase("time_spline"):
+                from .ops.timesmooth import fit_time_spline
+
+                lam = self.config.fit.time_smoothing
+                if lam != "gcv":
+                    lam = float(lam)
+                self.timefit = fit_time_spline(
+                    np.mean(utime, axis=1), C_all, lam=lam,
+                    nseg=self.config.fit.time_knots or None,
+                )
+                logger.info("time spline: lam=%.3g, K=%d",
+                            self.timefit["lam"], self.timefit["S"].shape[0])
+
         nvalid = np.isfinite(value).sum(axis=1)
         fit_quality_report(c2_all, nvalid, rp_all, names)
 
@@ -506,4 +521,5 @@ class Interpolate:
             path,
             self.config.raw_text,
             reg_params=self.reg_params,
+            timefit=getattr(self, "timefit", None),
         )

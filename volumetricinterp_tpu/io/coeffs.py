@@ -19,6 +19,8 @@ fine through h5py and vice versa.
 
 Extensions beyond the reference (backwards-compatible additions):
     /FitParams/reg_params     [nrec, nreg]  the selected alpha values
+    /TimeFit/{knots,S,lam}    time-spline payload (ops/timesmooth.py),
+                              when [DEFAULT] TIME_SMOOTHING is set
     incremental chunk flushing for long runs (checkpoint/resume,
     SURVEY.md section 5.3-5.4).
 """
@@ -45,6 +47,7 @@ def save_coeff_file(
     config_path,
     config_contents,
     reg_params=None,
+    timefit=None,
 ):
     with h5py.File(filename, "w") as f:
         f.create_dataset("UnixTime", data=np.asarray(utime))
@@ -66,6 +69,11 @@ def save_coeff_file(
         gg.create_dataset("Name", data=np.bytes_(config_name.encode("utf-8")))
         gg.create_dataset("Path", data=np.bytes_(config_path.encode("utf-8")))
         gg.create_dataset("Contents", data=np.bytes_(config_contents.encode("utf-8")))
+        if timefit is not None:
+            tg = f.create_group("TimeFit")
+            tg.create_dataset("knots", data=np.asarray(timefit["knots"]))
+            tg.create_dataset("S", data=np.asarray(timefit["S"]))
+            tg.create_dataset("lam", data=np.float64(timefit["lam"]))
 
 
 def load_coeff_file(filename):
@@ -88,6 +96,12 @@ def load_coeff_file(filename):
         out["raw_filename"] = rf.decode("utf-8") if isinstance(rf, bytes) else str(rf)
         if "reg_params" in f["/FitParams"]:
             out["reg_params"] = f["/FitParams/reg_params"][:]
+        if "TimeFit" in f:
+            out["timefit"] = {
+                "knots": f["/TimeFit/knots"][:],
+                "S": f["/TimeFit/S"][:],
+                "lam": float(f["/TimeFit/lam"][()]),
+            }
     return out
 
 
