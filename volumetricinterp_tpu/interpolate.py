@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from .config import Config
 from . import models
 from .io.amisr import read_datafile
-from .io.coeffs import IncrementalCoeffWriter, save_coeff_file
+from .io.coeffs import (IncrementalCoeffWriter, finalize_checkpoint,
+                        save_coeff_file)
 from .ops.fit import fit_records
 from .ops import regparam as regparam_mod
 from .ops.solve import final_solve, suff_stats
@@ -298,24 +299,36 @@ class Interpolate:
         with self.timer.phase("design_matrix"):
             A = self.model.basis(lat, lon, alt)
 
-        # default chunk bounds peak memory of the batched-eigh alpha search
-        # (~31 concurrent eigh instances per record in flight)
-        chunk = self.config.tpu.chunk_size or min(nrec, 256) or 1
+        # default chunk bounds peak memory of the batched alpha search and
+        # sets the pipeline grain: smaller chunks shrink the un-overlapped
+        # tail (the LAST chunk's fetch + unpack + flush hides under
+        # nothing).  128 measured best on the 1000-record day: 9.79 s vs
+        # 10.04 s at 256 (scripts/e2e_check.py receipts).
+        chunk = self.config.tpu.chunk_size or min(nrec, 128) or 1
         writer = None
         start0 = 0
         import jax as _jax0
 
         is_writer_proc = _jax0.process_index() == 0
-        if resume and self.outputfilename and is_writer_proc:
-            # checkpointed mode: per-chunk flush; a pre-existing partial
-            # file resumes at its last completed chunk
-            writer = self._make_writer(nrec)
-            start0 = writer.nrec_done
-            if start0:
-                logger.info("resuming at record %d / %d", start0, nrec)
+        self._flushed_output = None
+        if self.outputfilename and is_writer_proc:
+            # per-chunk flush, ALWAYS on when an output file is configured:
+            # the h5 writes hide under the next chunk's device compute, the
+            # run is checkpointed for free, and saveh5() becomes a
+            # metadata-only finalize instead of a 166 MB rewrite.  With
+            # resume=True a pre-existing partial file restarts at its last
+            # completed chunk; otherwise the file is recreated.
+            writer = self._make_writer(nrec, fresh=not resume)
+            if resume:
+                start0 = writer.nrec_done
+                if start0:
+                    logger.info("resuming at record %d / %d", start0, nrec)
 
         C_all = np.zeros((nrec, nb))
-        dC_all = np.zeros((nrec, nb, nb))
+        # np.empty: the covariance block is 166 MB for a 1000-record day
+        # and every row is fully assigned (worker-thread scatter or the
+        # resume preload) — zeroing it costs ~0.2 s of pure page faults
+        dC_all = np.empty((nrec, nb, nb))
         c2_all = np.zeros(nrec)
         rp_all = np.zeros((nrec, len(names)))
         if writer is not None and start0 > 0:
@@ -395,17 +408,50 @@ class Interpolate:
             def _pack_tri(dC):
                 return dC[:, iu[0], iu[1]]
 
+            # Covariance unpacking + per-chunk HDF5 flush run on a worker
+            # THREAD: the main thread's per-chunk budget is consumed by the
+            # tunnel fetch (which RELEASES the GIL), so the numpy scatter
+            # and the h5py/OS I/O (also GIL-releasing) hide under it —
+            # inline, they land straight on the critical path (measured
+            # +1.8 s on the 1000-record day).  All h5py calls stay on the
+            # one worker thread; each chunk range is produced exactly once,
+            # so slices are final when enqueued.
+            import queue as _queue
+            import threading as _threading
+
+            # unbounded: if the worker dies, producers must not block (the
+            # error is re-raised at join); total queued payload is bounded
+            # by the day's packed triangles (~83 MB for 1000 records)
+            wq = _queue.Queue()
+            werr = []
+
+            def _worker_loop():
+                while True:
+                    job = wq.get()
+                    if job is None:
+                        return
+                    try:
+                        s, e, tri = job
+                        dC_all[s:e][:, iu[0], iu[1]] = tri
+                        dC_all[s:e][:, iu[1], iu[0]] = tri
+                        if writer is not None:
+                            writer.write_chunk(s, utime[s:e], C_all[s:e],
+                                               dC_all[s:e], c2_all[s:e],
+                                               rp_all[s:e])
+                    except BaseException as exc:  # re-raised at join
+                        werr.append(exc)
+                        return
+
+            wthread = _threading.Thread(target=_worker_loop, daemon=True)
+            wthread.start()
+
             def materialize(s, e, res):
                 C, dC_tri, c2, rp = res
                 C_all[s:e] = np.asarray(C)
                 tri = np.asarray(dC_tri)
-                dC_all[s:e][:, iu[0], iu[1]] = tri
-                dC_all[s:e][:, iu[1], iu[0]] = tri
                 c2_all[s:e] = np.asarray(c2)
                 rp_all[s:e] = np.asarray(rp)
-                if writer is not None:
-                    writer.write_chunk(s, utime[s:e], C_all[s:e], dC_all[s:e],
-                                       c2_all[s:e], rp_all[s:e])
+                wq.put((s, e, tri))
 
             # pipeline: the (large) device->host covariance transfer of
             # chunk i overlaps chunk i+1's compute, which matters both over
@@ -419,8 +465,13 @@ class Interpolate:
                 pending = (s, e, res)
             if pending is not None:
                 materialize(*pending)
+            wq.put(None)
+            wthread.join()
+            if werr:
+                raise werr[0]
         if writer is not None:
             writer.close()
+            self._flushed_output = self.outputfilename
 
         self.time = utime
         self.Coeffs = C_all
@@ -476,7 +527,7 @@ class Interpolate:
             self.outputfilename = base_out
         return results
 
-    def _make_writer(self, nrec):
+    def _make_writer(self, nrec, fresh=False):
         meta = dict(
             reg_list=self.regularization_list,
             reg_method=self.reg_method,
@@ -490,17 +541,30 @@ class Interpolate:
             config_contents=self.config.raw_text,
         )
         return IncrementalCoeffWriter(
-            self.outputfilename, nrec, self.model.nbasis, meta
+            self.outputfilename, nrec, self.model.nbasis, meta, fresh=fresh
         )
 
     def saveh5(self):
         """Write the coefficient file (reference interpolate.py:671-708).
+
+        When calc_coeffs already flushed this run chunk-by-chunk to
+        OUTPUTFILENAME (the default whenever an output file is
+        configured), the heavy datasets are on disk and this finalizes
+        the schema in place (drops the checkpoint counter, adds
+        /TimeFit) — metadata-only I/O.  Mutating Coeffs/Covariance
+        between calc_coeffs and saveh5 voids the fast path's assumption;
+        delete self._flushed_output first to force a full rewrite.
 
         Multi-process runs: every process holds the full (allgathered)
         results, only process 0 writes."""
         import jax as _jax
 
         if _jax.process_index() != 0:
+            return
+        if getattr(self, "_flushed_output", None) == self.outputfilename \
+                and self.outputfilename:
+            finalize_checkpoint(self.outputfilename,
+                                timefit=getattr(self, "timefit", None))
             return
         name = os.path.basename(self.configfile) if self.configfile else ""
         path = (
