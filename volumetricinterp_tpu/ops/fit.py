@@ -180,6 +180,31 @@ def _fit_records_core(b_x, W_x, mask, A_x, reg_mats_x, method: str = "chi2",
     return jax.vmap(f, in_axes=(0, 0, 0))(b_x, W_x, mask)
 
 
+_CONST_SPLIT_CACHE: dict = {}
+
+
+def _split_fit_constant(x, nw):
+    """Memoized host-split + device upload of a FIT-CONSTANT array (the
+    design matrix and the regularization matrices are shared by every
+    record chunk of a day; re-splitting and re-uploading them per chunk
+    costs ~5.5 MB of tunnel bandwidth per dispatch for nothing).  Keyed
+    by content hash; one entry per (array, nw) — the cache resets when a
+    different fit's constants arrive."""
+    on_tpu = jax.default_backend() == "tpu"
+    key = (x.shape, nw, on_tpu, hash(x.tobytes()))
+    hit = _CONST_SPLIT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if on_tpu:
+        out = tuple(map(jnp.asarray, xprec.split_f64_host(x, nw)))
+    else:
+        out = (jnp.asarray(x),)
+    if len(_CONST_SPLIT_CACHE) > 8:  # bound memory across fits
+        _CONST_SPLIT_CACHE.clear()
+    _CONST_SPLIT_CACHE[key] = out
+    return out
+
+
 def prepare_fit_inputs(values, errors, A, reg_mats):
     """HOST-side preparation: reference QC masking semantics
     (interpolate.py:516-524) in numpy f64, then backend-appropriate
@@ -205,9 +230,10 @@ def prepare_fit_inputs(values, errors, A, reg_mats):
     # error perturbs the statistics 100x less than the reference's own
     # f64 accumulation noise (see ops/solve.suff_stats_x); the
     # regularization matrices stay 3-word (cheap, and they enter X
-    # formation directly)
+    # formation directly).  A and reg_mats are fit-constant: their
+    # split/upload is memoized across record chunks.
     return (split(b, 2), split(W, 2), jnp.asarray(mask.astype(np.float32)),
-            split(A, 2), split(reg_mats, 3))
+            _split_fit_constant(A, 2), _split_fit_constant(reg_mats, 3))
 
 
 _EIGR_CACHE: dict = {}
