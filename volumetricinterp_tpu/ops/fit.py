@@ -26,6 +26,7 @@ equations).
 
 from __future__ import annotations
 
+import hashlib
 from functools import partial
 
 import numpy as np
@@ -188,19 +189,22 @@ def _split_fit_constant(x, nw):
     design matrix and the regularization matrices are shared by every
     record chunk of a day; re-splitting and re-uploading them per chunk
     costs ~5.5 MB of tunnel bandwidth per dispatch for nothing).  Keyed
-    by content hash; one entry per (array, nw) — the cache resets when a
-    different fit's constants arrive."""
+    by a collision-resistant content digest (sha1 — the salted 64-bit
+    builtin hash could silently alias two same-shape arrays and corrupt
+    every fit); LRU-evicted so alternating fits don't thrash each other's
+    entries."""
     on_tpu = jax.default_backend() == "tpu"
-    key = (x.shape, nw, on_tpu, hash(x.tobytes()))
+    key = (x.shape, nw, on_tpu, hashlib.sha1(x.tobytes()).digest())
     hit = _CONST_SPLIT_CACHE.get(key)
     if hit is not None:
+        _CONST_SPLIT_CACHE[key] = _CONST_SPLIT_CACHE.pop(key)  # LRU touch
         return hit
     if on_tpu:
         out = tuple(map(jnp.asarray, xprec.split_f64_host(x, nw)))
     else:
         out = (jnp.asarray(x),)
-    if len(_CONST_SPLIT_CACHE) > 8:  # bound memory across fits
-        _CONST_SPLIT_CACHE.clear()
+    while len(_CONST_SPLIT_CACHE) >= 8:  # bound memory across fits
+        _CONST_SPLIT_CACHE.pop(next(iter(_CONST_SPLIT_CACHE)))
     _CONST_SPLIT_CACHE[key] = out
     return out
 
@@ -249,7 +253,7 @@ def _reg_mats_eig(reg_mats, reg_mats_x):
     latency without batch amortization (~0.4 s/dispatch measured) — is
     paid once per reg set per process here instead of inside every
     record-chunk dispatch."""
-    key = (reg_mats.shape, hash(reg_mats.tobytes()))
+    key = (reg_mats.shape, hashlib.sha1(reg_mats.tobytes()).digest())
     hit = _EIGR_CACHE.get(key)
     if hit is not None:
         return hit

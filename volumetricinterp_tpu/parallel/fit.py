@@ -244,24 +244,37 @@ def _stats_then_solve(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, method,
 
 def grid_eval_sharded(evaluator, C, gdlat, gdlon, gdalt, mesh: Mesh):
     """Dense-grid evaluation with points sharded over every mesh device
-    (pure map, zero communication)."""
+    (pure map, zero communication).
+
+    The sharded executable is CACHED on the evaluator per mesh: building a
+    fresh ``jax.jit`` wrapper per call re-traces the whole Clenshaw graph
+    every dispatch (measured at ~40% of the one-chip call time, and the
+    source of the 5x run-to-run spread in the committed bench records —
+    BENCH_r02 1.85e9 vs BENCH_SELF 0.62e9 pts/s on identical code)."""
     gdlat = jnp.asarray(gdlat)
     shape = gdlat.shape
     n = int(np.prod(shape))
     ndev = mesh.devices.size
     n_p = -(-n // ndev) * ndev
 
-    flat = lambda x: _pad_to(
-        jnp.asarray(x, dtype=evaluator.dtype).ravel(), n_p, 0, 0.0
-    )
-    lat, lon, alt = flat(gdlat), flat(gdlon), flat(gdalt)
-    ceff = evaluator.fold_coeffs(C)
+    cache = evaluator.__dict__.setdefault("_sharded_jit_cache", {})
+    ev = cache.get(mesh)
+    if ev is None:
+        sh = NamedSharding(mesh, P(("records", "points")))
+        ev = jax.jit(
+            evaluator._eval_flat,
+            in_shardings=(None, sh, sh, sh),
+            out_shardings=sh,
+        )
+        cache[mesh] = ev
 
-    sh = NamedSharding(mesh, P(("records", "points")))
-    ev = jax.jit(
-        evaluator._eval_flat,
-        in_shardings=(None, sh, sh, sh),
-        out_shardings=sh,
-    )
-    out = ev(ceff, lat, lon, alt)
-    return out[:n].reshape(shape)
+    def flat(x):
+        x = jnp.asarray(x, dtype=evaluator.dtype)
+        if x.ndim != 1:
+            x = x.ravel()
+        return _pad_to(x, n_p, 0, 0.0)
+
+    out = ev(evaluator.fold_coeffs(C), flat(gdlat), flat(gdlon), flat(gdalt))
+    if n_p != n:
+        out = out[:n]
+    return out.reshape(shape)
