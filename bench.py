@@ -169,6 +169,19 @@ QUAD_MODE = gauss
     interp.saveh5()
     full_day_s = time.perf_counter() - t0
     e2e_finite_frac = float(np.isfinite(interp.chi_sq).mean())
+    # failed-record characterization against the CPU f64 oracle (the same
+    # day fit by scripts/day_check.py --oracle: identical synth inputs by
+    # seed).  A device-path regression cannot hide behind legitimate
+    # no-bracket failures: failures the oracle does NOT share are counted
+    # separately.
+    e2e_failed = int(np.isnan(interp.chi_sq).sum())
+    e2e_failed_vs_oracle = None
+    opath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "oracle", "day1000_seed1_oracle.npz")
+    if os.path.exists(opath) and interp.chi_sq.shape[0] == 1000:
+        onan = np.isnan(np.load(opath)["chi2"])
+        e2e_failed_vs_oracle = int(
+            (np.isnan(interp.chi_sq) & ~onan).sum())
 
     target_pts = 1.0e9
     print(json.dumps({
@@ -186,6 +199,8 @@ QUAD_MODE = gauss
             "grid_eval_sharded_pts_per_s": round(pts_sharded, 1),
             "full_day_1000rec_e2e_s": round(full_day_s, 2),
             "e2e_finite_frac": round(e2e_finite_frac, 4),
+            "e2e_failed": e2e_failed,
+            "e2e_failed_vs_oracle": e2e_failed_vs_oracle,
             "fit_batch": [nrec, npts],
             "eval_impl": ev.impl,
             "cheb_degree_eval": ev.degree,

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""GCV device receipts (VERDICT r2 item 6): GCV-selected alphas on the TPU
+vs the CPU f64 oracle at production order (nbasis=144), on the SAME
+real-AMISR-basis statistics that exposed chi2's f32 failure in round 1.
+
+The GCV objective is deliberately plain-f32 on TPU (ops/regparam.py,
+docs/PARITY_NOTES.md #6) — unlike chi2 it never received the expansion
+treatment.  This script measures that envelope at day-grade statistics.
+
+Usage:
+  python scripts/gcv_check.py --oracle   # CPU f64 reference (run first)
+  python scripts/gcv_check.py            # TPU run + compare
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CACHE = "/root/repo/.day_check"
+
+
+def build_records(nrec, seed=1):
+    """Same synthetic day as the bench / day_check (seed-anchored)."""
+    from volumetricinterp_tpu.config import Config
+    from volumetricinterp_tpu.models.sphharmlag import Model
+    from volumetricinterp_tpu.io.synth import write_synthetic_amisr
+    from volumetricinterp_tpu.io.amisr import read_datafile
+
+    cfg_text = """
+[MODEL]
+NAME = sphharmlag
+MAXK = 4
+MAXL = 6
+CAP_LIM = 10
+MAX_Z_INT = INF
+LATCP = 78
+LONCP = 262
+[TPU]
+QUAD_MODE = gauss
+"""
+    os.makedirs(CACHE, exist_ok=True)
+    raw = os.path.join(CACHE, "day_1000_1.h5")
+    model = Model(Config.from_text(cfg_text))
+    if not os.path.exists(raw):
+        write_synthetic_amisr(raw, nrec=1000, seed=1, smooth_in_model=model,
+                              nan_frac=0.03, bad_frac=0.01)
+    utime, lat, lon, alt, value, error = read_datafile(
+        raw, "dens", [1e10, 1e13], [0.1, 10.0], [1, 2, 3, 4])
+    _, t, _ = model.transform_coord(lat, lon, alt)
+    model.ensure_theta_domain(float(np.max(np.asarray(t))))
+    A = np.asarray(model.basis(lat, lon, alt))
+    psi = np.asarray(model.eval_psi())
+    # every 1000//nrec-th record: spans the day's variability
+    step = max(1, 1000 // nrec)
+    idx = np.arange(0, 1000, step)[:nrec]
+    return value[idx], error[idx], A, psi[None]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--oracle", action="store_true")
+    ap.add_argument("--nrec", type=int, default=64)
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/repo/.jax_cache")
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    if args.oracle:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from volumetricinterp_tpu.ops.fit import fit_records
+
+    values, errors, A, reg_mats = build_records(args.nrec)
+    tag = "oracle" if args.oracle else "tpu"
+    t0 = time.perf_counter()
+    C, dC, chi2, rp = fit_records(values, errors, A, reg_mats, method="gcv")
+    wall = time.perf_counter() - t0
+    np.savez(os.path.join(CACHE, f"gcv_{tag}_{args.nrec}.npz"),
+             C=C, chi2=np.asarray(chi2), rp=rp)
+    rep = {f"{tag}_wall_s": round(wall, 2),
+           "nan_frac": float(np.isnan(np.asarray(chi2)).mean())}
+
+    opath = os.path.join(CACHE, f"gcv_oracle_{args.nrec}.npz")
+    if not args.oracle and os.path.exists(opath):
+        o = np.load(opath)
+        rp_t = np.asarray(rp)
+        both = np.isfinite(rp_t[:, 0]) & np.isfinite(o["rp"][:, 0])
+        la_t = np.log10(rp_t[both, 0])
+        la_o = np.log10(o["rp"][both, 0])
+        dla = np.abs(la_t - la_o)
+        c_t = np.asarray(chi2)[both]
+        c_o = o["chi2"][both]
+        rel = np.abs(c_t - c_o) / np.abs(c_o)
+        rep.update({
+            "n_compared": int(both.sum()),
+            "converged_mismatch": int(
+                (np.isfinite(rp_t[:, 0]) != np.isfinite(o["rp"][:, 0])).sum()),
+            "dlog10alpha_median": float(np.median(dla)),
+            "dlog10alpha_p95": float(np.percentile(dla, 95)),
+            "dlog10alpha_max": float(np.max(dla)),
+            "chi2_rel_median": float(np.median(rel)),
+            "chi2_rel_max": float(np.max(rel)),
+        })
+    print(json.dumps(rep))
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    main()

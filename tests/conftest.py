@@ -26,6 +26,23 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy opt-in coverage, gated behind VITPU_SLOW_TESTS=1 "
+        "(redundant parametrizations and compile-heavy shard graphs; the "
+        "kept default variants cover every code path)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("VITPU_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="slow; set VITPU_SLOW_TESTS=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

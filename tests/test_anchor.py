@@ -63,7 +63,8 @@ def test_anchor_matches_ladder_f64():
                                    rtol=0, atol=1e-10 * np.abs(dC2).max())
 
 
-@pytest.mark.parametrize("scale", [1.0, 1e-11])
+@pytest.mark.parametrize(
+    "scale", [pytest.param(1.0, marks=pytest.mark.slow), 1e-11])
 def test_anchor_chi2_expansion_physical_scale(scale):
     """Expansion path (TPU precision model, f32 words + noisy eigh): the
     anchored chi^2 at delta = 0 must match chi2_from_eig_x on the SAME

@@ -136,6 +136,7 @@ def test_nelder_mead_maxfev_cap():
     assert not bool(ok_cap)
 
 
+@pytest.mark.slow
 def test_gcv_point_sharded_matches_single(small_problem):
     """GCV on a mesh with a non-trivial points axis equals the
     single-device result (psum'd LOO objective, SURVEY.md 5.7).

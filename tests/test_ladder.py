@@ -86,7 +86,8 @@ def test_ladder_levels_sizes():
     assert all(1 <= k <= 3 for k in ks)
 
 
-@pytest.mark.parametrize("noise", [0.0, 2e-5])
+@pytest.mark.parametrize(
+    "noise", [pytest.param(0.0, marks=pytest.mark.slow), 2e-5])
 def test_ladder_resolves_deep_spectrum(noise):
     solve._EIGH_EMULATED_RESID = noise
     rng = np.random.default_rng(11)
@@ -111,6 +112,7 @@ def test_ladder_resolves_deep_spectrum(noise):
         assert rel32.max() > 10 * _matched_rel(w, w_true, 1e-10 * mx).max()
 
 
+@pytest.mark.slow  # the phased sweep ships OFF (VITPU_SWEEP_PHASED)
 def test_phased_sweep_resolves_deep_spectrum():
     """The phase-batched window sweep (non-default; ships off because it
     measured SLOWER on this TPU — no eigh latency floor to amortize)
@@ -158,7 +160,8 @@ def test_boot_ladder_tracks_perturbed_matrix():
     assert _matched_rel(_exp_val(w_x), w_true, 1e-4 * mx).max() < 0.12
 
 
-@pytest.mark.parametrize("noise", [0.0, 2e-5])
+@pytest.mark.parametrize(
+    "noise", [pytest.param(0.0, marks=pytest.mark.slow), 2e-5])
 def test_ladder_chi2_matches_f64_cutoff(noise):
     """chi^2 under gelsd-cutoff semantics from the ladder must agree with
     the f64 oracle inside the keep-flip staircase envelope, on

@@ -64,6 +64,7 @@ def test_debug_mode_context():
     assert jax.config.jax_debug_nans == before
 
 
+@pytest.mark.slow
 def test_sharded_gcv_records_axis(small_config_text):
     """GCV works on the mesh's records axis (points replicated)."""
     import jax.numpy as jnp

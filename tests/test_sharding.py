@@ -46,7 +46,12 @@ def test_devices_available():
     assert len(jax.devices()) >= 8
 
 
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (1, 8)])
+@pytest.mark.parametrize("mesh_shape", [
+    (4, 2),  # records x points: the production topology
+    pytest.param((2, 4), marks=pytest.mark.slow),
+    pytest.param((8, 1), marks=pytest.mark.slow),
+    (1, 8),  # pure point sharding: deepest psum_x coverage
+])
 def test_sharded_fit_matches_single_device(problem, mesh_shape):
     model, A, values, errors, psi = problem
     mesh = make_mesh(*mesh_shape)

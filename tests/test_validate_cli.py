@@ -46,6 +46,32 @@ def test_validate_workflow(validate_workspace):
     assert os.path.getsize(validate_workspace["png"]) > 10_000
 
 
+def test_validate_cartopy_branch(validate_workspace):
+    """The map-projection branch of create_plots (the reference's actual
+    product, reference validate.py:99,115-122) runs end-to-end against the
+    cartopy stub: GeoAxes panels, PlateCarree data transforms, coastlines/
+    gridlines — the branch the plain-axes fallback never covers."""
+    from tests import cartopy_stub
+
+    png = validate_workspace["png"] + ".cartopy.png"
+    v = Validate(validate_workspace["cfgfile"])
+    if not os.path.exists(validate_workspace["out"]):
+        v.interpolate()
+    else:  # reuse the module fixture's fitted window
+        v.outputfilename = validate_workspace["out"]
+    v.outputpng = png
+    names = cartopy_stub.install()
+    try:
+        v.create_plots()
+    finally:
+        cartopy_stub.uninstall(names)
+    assert os.path.exists(png)
+    assert os.path.getsize(png) > 10_000
+    # the projection branch really executed (not the fallback)
+    assert cartopy_stub._StubGeoAxes.coastlines_calls > 0
+    assert cartopy_stub._StubGeoAxes.gridlines_calls > 0
+
+
 def test_cli_fit(validate_workspace, tmp_path):
     cli_main([validate_workspace["cfgfile"], "--profile"])
     assert os.path.exists(validate_workspace["out"])

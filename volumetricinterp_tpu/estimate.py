@@ -122,7 +122,12 @@ class Estimate:
         two bracketing record mid-times when timeinterp=True, or the
         continuous time spline when timeinterp='spline' (covariance then
         comes from the nearest record: the spline smooths the coefficient
-        TRAJECTORY; per-record error bars remain the honest uncertainty)."""
+        TRAJECTORY; per-record error bars remain the honest uncertainty).
+
+        Accepts naive datetimes (interpreted as UTC, the reference
+        convention) or timezone-aware datetimes (converted to UTC)."""
+        if t.tzinfo is not None:
+            t = t.astimezone(dt.timezone.utc).replace(tzinfo=None)
         t0 = (t - dt.datetime(1970, 1, 1)).total_seconds()
         mt = np.mean(self.time, axis=1)
 

@@ -278,18 +278,7 @@ class Interpolate:
 
         nrec = value.shape[0]
 
-        method = self.reg_method
-        manual_params = None
-        if method == "manual":
-            manual_params = [regparam_mod.manual_reg_param(r) for r in names]
-        elif method == "prompt":
-            # python-3 fix of interpolate.py:383-407 (raw_input); asked once
-            # per regularization type, not once per record
-            manual_params = [
-                float(input("Enter {} regularization parameter: ".format(r)))
-                for r in names
-            ]
-            method = "manual"
+        method, manual_params = self._resolve_method(names)
 
         # make sure the Legendre tables cover the data's colatitude range
         if hasattr(self.model, "transform_coord") and nrec > 0:
@@ -299,12 +288,6 @@ class Interpolate:
         with self.timer.phase("design_matrix"):
             A = self.model.basis(lat, lon, alt)
 
-        # default chunk bounds peak memory of the batched alpha search and
-        # sets the pipeline grain: smaller chunks shrink the un-overlapped
-        # tail (the LAST chunk's fetch + unpack + flush hides under
-        # nothing).  128 measured best on the 1000-record day: 9.79 s vs
-        # 10.04 s at 256 (scripts/e2e_check.py receipts).
-        chunk = self.config.tpu.chunk_size or min(nrec, 128) or 1
         writer = None
         start0 = 0
         import jax as _jax0
@@ -323,6 +306,70 @@ class Interpolate:
                 start0 = writer.nrec_done
                 if start0:
                     logger.info("resuming at record %d / %d", start0, nrec)
+
+        C_all, dC_all, c2_all, rp_all = self._run_fit_pipeline(
+            value, error, np.asarray(A), reg_mats, reg_taus, method,
+            manual_params, utime, writer=writer, start0=start0)
+        if writer is not None:
+            writer.close()
+            self._flushed_output = self.outputfilename
+
+        self.time = utime
+        self.Coeffs = C_all
+        self.Covariance = dC_all
+        self.chi_sq = c2_all
+        self.reg_params = rp_all
+
+        self.timefit = None
+        if self.config.fit.time_smoothing:
+            with self.timer.phase("time_spline"):
+                from .ops.timesmooth import fit_time_spline
+
+                lam = self.config.fit.time_smoothing
+                if lam != "gcv":
+                    lam = float(lam)
+                self.timefit = fit_time_spline(
+                    np.mean(utime, axis=1), C_all, lam=lam,
+                    nseg=self.config.fit.time_knots or None,
+                )
+                logger.info("time spline: lam=%.3g, K=%d",
+                            self.timefit["lam"], self.timefit["S"].shape[0])
+
+        nvalid = np.isfinite(value).sum(axis=1)
+        fit_quality_report(c2_all, nvalid, rp_all, names)
+
+    def _resolve_method(self, names):
+        """Reference method dispatch incl. the py3 prompt fix
+        (interpolate.py:383-407: asked once per regularization type)."""
+        method = self.reg_method
+        manual_params = None
+        if method == "manual":
+            manual_params = [regparam_mod.manual_reg_param(r) for r in names]
+        elif method == "prompt":
+            # python-3 fix of interpolate.py:383-407 (raw_input); asked once
+            # per regularization type, not once per record
+            manual_params = [
+                float(input("Enter {} regularization parameter: ".format(r)))
+                for r in names
+            ]
+            method = "manual"
+        return method, manual_params
+
+    def _run_fit_pipeline(self, value, error, A_np, reg_mats, reg_taus,
+                          method, manual_params, utime, writer=None,
+                          start0=0):
+        """The chunked, pipelined batched fit (shared by calc_coeffs and
+        the single-pass multiparameter fit).  Returns (C_all, dC_all,
+        c2_all, rp_all) host arrays for ALL nrec records."""
+        names = self.regularization_list
+        nrec = value.shape[0]
+        nb = self.model.nbasis
+        # default chunk bounds peak memory of the batched alpha search and
+        # sets the pipeline grain: smaller chunks shrink the un-overlapped
+        # tail (the LAST chunk's fetch + unpack + flush hides under
+        # nothing).  128 measured best on the 1000-record day: 9.79 s vs
+        # 10.04 s at 256 (scripts/e2e_check.py receipts).
+        chunk = self.config.tpu.chunk_size or min(nrec, 128) or 1
 
         C_all = np.zeros((nrec, nb))
         # np.empty: the covariance block is 166 MB for a 1000-record day
@@ -363,32 +410,52 @@ class Interpolate:
                 np.asarray(manual_params, np.float64)
                 if manual_params is not None else None
             )
-            A_np = np.asarray(A)
 
             def dispatch(s, e):
+                # TAIL-CHUNK PADDING: a day of 1000 records at chunk 128
+                # ends with a 104-record chunk, which would compile a
+                # SECOND whole fit graph (minutes cold through the dev
+                # tunnel) for one dispatch.  Pad the tail with all-NaN
+                # records instead: fully-masked rows produce NaN fits
+                # (the existing no-bracket path) at ~24/128 of one
+                # chunk's compute — and the padded rows are sliced off
+                # below.  Only the tail of a MULTI-chunk run pads (a
+                # short single-chunk run compiles its own size anyway).
+                pad = chunk - (e - s) if (e - s) < chunk and nrec > chunk \
+                    else 0
+                if pad:
+                    v_in = np.full((chunk, value.shape[1]), np.nan)
+                    v_in[: e - s] = value[s:e]
+                    e_in = np.ones((chunk, error.shape[1]))
+                    e_in[: e - s] = error[s:e]
+                else:
+                    v_in, e_in = value[s:e], error[s:e]
                 if multiproc:
                     from .parallel.distributed import fit_records_distributed
 
                     C, dC, c2, rp = fit_records_distributed(
-                        value[s:e], error[s:e], np.asarray(A), reg_mats,
+                        v_in, e_in, A_np, reg_mats,
                         mesh, method=method, manual_params=mp,
                         regparam_mode=self.config.tpu.regparam_mode,
                         reg_taus=reg_taus,
                     )
+                    if pad:
+                        C, dC, c2, rp = (C[: e - s], dC[: e - s],
+                                         c2[: e - s], rp[: e - s])
                     return C, dC[:, iu[0], iu[1]], c2, rp
                 if mesh is not None:
                     from .parallel import fit_records_sharded
 
                     C, dC, c2, rp = fit_records_sharded(
-                        value[s:e], error[s:e], A_np, reg_mats, mesh,
+                        v_in, e_in, A_np, reg_mats, mesh,
                         method=method, manual_params=mp,
                         regparam_mode=self.config.tpu.regparam_mode,
                         reg_taus=reg_taus,
                     )
                 else:
                     C, dC, c2, rp = fit_records(
-                        value[s:e],
-                        error[s:e],
+                        v_in,
+                        e_in,
                         A_np,
                         reg_mats,
                         method=method,
@@ -396,7 +463,11 @@ class Interpolate:
                         regparam_mode=self.config.tpu.regparam_mode,
                         reg_taus=reg_taus,
                     )
-                return C, _pack_tri(dC), c2, rp
+                tri = _pack_tri(dC)
+                if pad:
+                    C, tri, c2, rp = (C[: e - s], tri[: e - s],
+                                      c2[: e - s], rp[: e - s])
+                return C, tri, c2, rp
 
             # dC is symmetric, so only its upper triangle crosses the
             # device->host link (the [chunk, nb, nb] covariance dominates
@@ -469,56 +540,92 @@ class Interpolate:
             wthread.join()
             if werr:
                 raise werr[0]
-        if writer is not None:
-            writer.close()
-            self._flushed_output = self.outputfilename
-
-        self.time = utime
-        self.Coeffs = C_all
-        self.Covariance = dC_all
-        self.chi_sq = c2_all
-        self.reg_params = rp_all
-
-        self.timefit = None
-        if self.config.fit.time_smoothing:
-            with self.timer.phase("time_spline"):
-                from .ops.timesmooth import fit_time_spline
-
-                lam = self.config.fit.time_smoothing
-                if lam != "gcv":
-                    lam = float(lam)
-                self.timefit = fit_time_spline(
-                    np.mean(utime, axis=1), C_all, lam=lam,
-                    nseg=self.config.fit.time_knots or None,
-                )
-                logger.info("time spline: lam=%.3g, K=%d",
-                            self.timefit["lam"], self.timefit["S"].shape[0])
-
-        nvalid = np.isfinite(value).sum(axis=1)
-        fit_quality_report(c2_all, nvalid, rp_all, names)
+        return C_all, dC_all, c2_all, rp_all
 
     def calc_coeffs_multiparam(self, params, starttime=None, endtime=None):
-        """Single-pass fits of SEVERAL parameters (e.g. ['dens', 'temp_e']).
+        """SINGLE-PASS fits of several parameters (e.g. ['dens', 'temp_e']).
 
-        The design matrix, regularization matrices and Legendre tables are
-        shared across parameters — only the data/error arrays change — so
-        fitting k parameters costs barely more than one (a capability the
-        reference lacks: it would re-run the whole pipeline per PARAM).
+        All parameters' records ride ONE fit stream: the file is read once,
+        the design matrix / Legendre tables / regularization eigenbases /
+        compiled fit graph are shared, and the k * nrec record batch runs
+        through the chunked pipeline back to back — so only the per-record
+        solve work scales with k, with no per-parameter pipeline bubbles or
+        recompiles (the reference would re-run its whole serial pipeline
+        per PARAM, interpolate.py:472-579).
 
         Writes one coefficient file per parameter (OUTPUTFILENAME with a
         `.{param}` suffix before the extension) and returns
         {param: (time, Coeffs, Covariance, chi_sq)}.
         """
-        results = {}
         base_param = self.param
         base_out = self.outputfilename
         root, ext = os.path.splitext(base_out)
         try:
-            for prm in params:
+            reg_mats_dict = self._reg_matrices()
+            names = self.regularization_list
+            nb = self.model.nbasis
+            reg_mats = (
+                jnp.asarray(np.stack([reg_mats_dict[r] for r in names]))
+                if names else jnp.zeros((0, nb, nb))
+            )
+            reg_taus = self._reg_taus(names, nb)
+            method, manual_params = self._resolve_method(names)
+
+            # one read per parameter (values/errors differ; geometry is
+            # file-level and shared)
+            utime = lat = lon = alt = None
+            vals, errs = [], []
+            with self.timer.phase("read_datafile"):
+                for prm in params:
+                    self.param = prm
+                    utime, lat, lon, alt, v, e = self.read_datafile(
+                        self.filename)
+                    vals.append(v)
+                    errs.append(e)
+            with self.timer.phase("compute_hull"):
+                self.compute_hull(lat, lon, alt)
+            if starttime and endtime:
+                epoch = dt.datetime(1970, 1, 1)
+                idx = np.argwhere(
+                    (utime[:, 0] >= (starttime - epoch).total_seconds())
+                    & (utime[:, 1] <= (endtime - epoch).total_seconds())
+                ).flatten()
+                utime = utime[idx, :]
+                vals = [v[idx] for v in vals]
+                errs = [e[idx] for e in errs]
+            nrec = vals[0].shape[0]
+
+            if hasattr(self.model, "transform_coord") and nrec > 0:
+                _, t, _ = self.model.transform_coord(lat, lon, alt)
+                self.model.ensure_theta_domain(float(np.max(np.asarray(t))))
+            with self.timer.phase("design_matrix"):
+                A_np = np.asarray(self.model.basis(lat, lon, alt))
+
+            value = np.concatenate(vals, axis=0)   # [k * nrec, npoints]
+            error = np.concatenate(errs, axis=0)
+            ut_rep = np.concatenate([utime] * len(params), axis=0)
+            self._flushed_output = None
+            C, dC, c2, rp = self._run_fit_pipeline(
+                value, error, A_np, reg_mats, reg_taus, method,
+                manual_params, ut_rep)
+
+            results = {}
+            import jax as _jax
+
+            for i, prm in enumerate(params):
+                sl = slice(i * nrec, (i + 1) * nrec)
                 self.param = prm
                 self.outputfilename = f"{root}.{prm}{ext}"
-                self.calc_coeffs(starttime=starttime, endtime=endtime)
-                self.saveh5()
+                self.time = utime
+                self.Coeffs = C[sl]
+                self.Covariance = dC[sl]
+                self.chi_sq = c2[sl]
+                self.reg_params = rp[sl]
+                self.timefit = None
+                if _jax.process_index() == 0:
+                    self.saveh5()
+                nvalid = np.isfinite(vals[i]).sum(axis=1)
+                fit_quality_report(c2[sl], nvalid, rp[sl], names)
                 results[prm] = (
                     self.time, self.Coeffs, self.Covariance, self.chi_sq
                 )

@@ -287,8 +287,11 @@ def ozaki_mm(a_exp, b_exp, maxpq=MAXPQ, nwords=3):
         # CPU path: native f64 exists; the expansion is a single f64 word
         # and the exact-sliced machinery is unnecessary
         return (jnp.matmul(a_exp[0], b_exp[0]),)
-    na = _nchunks_for(a_exp)
-    nb = _nchunks_for(b_exp)
+    # chunks beyond index maxpq can never appear in a kept term
+    # (p + q <= maxpq with q, p >= 0), so don't extract them: each chunk
+    # costs several elementwise passes over the full operand
+    na = min(_nchunks_for(a_exp), maxpq + 1)
+    nb = min(_nchunks_for(b_exp), maxpq + 1)
     ac, sa = _make_chunks(a_exp, axis=-1, nchunk=na)
     bc, sb = _make_chunks(b_exp, axis=-2, nchunk=nb)
     out_shape = jnp.broadcast_shapes(
