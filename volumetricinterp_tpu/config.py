@@ -55,6 +55,11 @@ class FitConfig:
     # TIME_SMOOTHING = gcv | <lambda float>; empty disables
     time_smoothing: str = ""
     time_knots: int = 0  # spline segments; 0 = auto (~nrec/4)
+    # JOINTLY time-regularized fits (ops/timejoint.py): a first-difference
+    # penalty coupling records inside the solve.  TIME_COUPLING =
+    # <beta_rel> (coupling relative to the mean data-term scale); 0/empty
+    # disables.  f32-grade on TPU by design (module docstring).
+    time_coupling: float = 0.0
 
 
 @dataclass
@@ -177,6 +182,8 @@ class Config:
             fit.time_smoothing = d.get("TIME_SMOOTHING")
         if "TIME_KNOTS" in d:
             fit.time_knots = int(d.get("TIME_KNOTS"))
+        if "TIME_COUPLING" in d:
+            fit.time_coupling = float(d.get("TIME_COUPLING"))
 
         model = ModelConfig()
         if cp.has_section("MODEL"):

@@ -320,6 +320,30 @@ class Interpolate:
         self.chi_sq = c2_all
         self.reg_params = rp_all
 
+        if self.config.fit.time_coupling:
+            # jointly time-regularized re-solve at the searched alphas
+            # (ops/timejoint.py): updates Coeffs/chi_sq; the per-record
+            # covariance keeps the independent-fit error bars (honest
+            # uncertainty — the coupling trades variance for bias)
+            with self.timer.phase("time_coupled_solve"):
+                from .ops.timejoint import fit_time_coupled
+
+                with np.errstate(divide="ignore"):
+                    la = np.log10(np.where(rp_all > 0, rp_all, 0.0))
+                C_j, c2_j = fit_time_coupled(
+                    value, error, np.asarray(A), np.asarray(reg_mats), la,
+                    self.config.fit.time_coupling)
+                n_filled = int((np.isnan(c2_all) & np.isfinite(c2_j)).sum())
+                self.Coeffs = C_j
+                self.chi_sq = c2_j
+                logger.info(
+                    "time-coupled solve: beta_rel=%.3g, %d failed records "
+                    "carried by neighbors", self.config.fit.time_coupling,
+                    n_filled)
+                # the incrementally-flushed file holds the INDEPENDENT
+                # coefficients; force saveh5 to rewrite with the joint ones
+                self._flushed_output = None
+
         self.timefit = None
         if self.config.fit.time_smoothing:
             with self.timer.phase("time_spline"):
