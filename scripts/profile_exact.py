@@ -6,6 +6,7 @@ targets the measured cost, not guesses.  One TPU process at a time.
 """
 import os
 import time
+from functools import partial
 
 import numpy as np
 
@@ -198,13 +199,37 @@ _, t_search = timeit("chi2_reg_param (incl fresh ladder)", search_only,
                      AtWA_x, AtWb_x, btWb_x, N, reps=1)
 
 # ---- whole fit -------------------------------------------------------------
-t0 = time.perf_counter()
+from volumetricinterp_tpu.ops.fit import _fit_records_core
+
 r = fit_records(values, errors, A, reg_mats, method="chi2",
-                regparam_mode="exact")
+                regparam_mode="exact")  # compile
 sync(r[2])
-t_all = time.perf_counter() - t0
+t0 = time.perf_counter()
+sync(r[2])
+rtt0 = time.perf_counter() - t0
+reps = 3
+t0 = time.perf_counter()
+for _ in range(reps):
+    r = fit_records(values, errors, A, reg_mats, method="chi2",
+                    regparam_mode="exact")
+sync(r[2])
+t_all = (time.perf_counter() - t0 - rtt0) / reps
 print(f"{'fit_records exact (whole, warm)':42s} {t_all*1e3:9.2f} ms   "
       f"({nrec/t_all:7.1f} fits/s)")
+
+# core dispatch alone: inputs pre-split and resident, reg_eigR in hand —
+# the difference to the line above is host prep + upload + alpha unsplit
+core = partial(_fit_records_core, method="chi2", regparam_mode="exact")
+rc = core(b_x, W_x, mask, A_x, reg_mats_x,
+          reg_eigR=reg_eigR)
+sync(rc[2])
+t0 = time.perf_counter()
+for _ in range(reps):
+    rc = core(b_x, W_x, mask, A_x, reg_mats_x, reg_eigR=reg_eigR)
+sync(rc[2])
+t_core = (time.perf_counter() - t0 - rtt0) / reps
+print(f"{'  _fit_records_core dispatch alone':42s} {t_core*1e3:9.2f} ms   "
+      f"({nrec/t_core:7.1f} fits/s)")
 
 print("\nbudget model: boot ladders/rec = 1 endpoint + 9 defect + 1 final")
 print(f"  fresh {t_fresh*1e3:.0f} + 11 x boot {t_boot*1e3:.0f} "

@@ -160,6 +160,69 @@ def test_boot_ladder_tracks_perturbed_matrix():
     assert _matched_rel(_exp_val(w_x), w_true, 1e-4 * mx).max() < 0.12
 
 
+def test_boot_from_batch_mean_basis():
+    """The production BOOT_ATWA path (ops/fit.batch_mean_eig): every
+    record's AtWA ladder boots from ONE basis — the eigenbasis of the
+    scale-normalized batch mean — instead of paying a per-record fresh
+    ladder (five deflation-level eighs + the n-size seed eigh, the
+    dominant measured cost of the exact search, scripts/profile_exact.py).
+
+    Stress ingredients mirror production: per-record weight scatter, QC
+    dropouts (zeroed rows), and a 1e16 scale split between two record
+    groups (single-pass multiparameter chunks mix Ne- and temperature-
+    scale statistics).  The bar is the SAME chi^2/keep envelope as the
+    fresh-ladder test above, under the real TPU's emulated eigh noise.
+
+    NOTE: this test PASSING while the real-basis day FAILED (see the
+    BOOT_ATWA ships-off receipts in ops/fit.py) is itself the round-3
+    measurement of the synthetic-vs-real-spectrum gap: graded synthetic
+    columns keep deep eigenvectors axis-aligned and weight-stable; real
+    AMISR-basis deep eigenvectors come from near-cancellations and rotate
+    O(1) under a 3% mask change.  Kept as the regression bar for the
+    opt-in path (VITPU_BOOT_ATWA=1)."""
+    solve._EIGH_EMULATED_RESID = 2e-5
+    rng = np.random.default_rng(29)
+    n = 144
+    npts = 400
+    A = rng.normal(size=(npts, n)) * (10.0 ** (-8.0 * rng.random(n)))[None]
+    b0 = A @ rng.normal(size=n)
+
+    recs = []
+    for r in range(6):
+        scale = 1.0 if r < 3 else 1e-16  # two parameter groups
+        W = rng.uniform(0.5, 2.0, npts) * scale
+        W[rng.random(npts) < 0.05] = 0.0  # QC dropouts
+        b = b0 + 0.1 * rng.normal(size=npts)
+        AtWA = (A * W[:, None]).T @ A
+        AtWb = (A * W[:, None]).T @ b
+        recs.append((AtWA, AtWb, float(W @ (b * b))))
+
+    # the batch-mean basis, built exactly like ops/fit.batch_mean_eig
+    # (scale-normalized mean), through the same f32-expansion ladder
+    Xbar = np.mean([AtWA / (2.0 ** np.round(np.log2(np.trace(AtWA) / n)))
+                    for AtWA, _, _ in recs], axis=0)
+    sb = float(2.0 ** np.round(np.log2(np.trace(Xbar) / n)))
+    _, Vbar_x, _ = _ladder_eigh_x(_as_x(Xbar / sb))
+
+    for trial, (AtWA, AtWb, btWb) in enumerate(recs):
+        s = float(2.0 ** np.round(np.log2(np.trace(AtWA) / n)))
+        Xn = AtWA / s
+        wt, Vt = np.linalg.eigh(Xn)
+        c2_true = float(chi2_from_eig(
+            jnp.asarray(wt * s), jnp.asarray(Vt), jnp.asarray(AtWA),
+            jnp.asarray(AtWb), jnp.asarray(btWb)))
+        k_true = int((np.abs(wt) > EPS64 * np.abs(wt).max()).sum())
+        w_x, Vx, M_x = _ladder_eigh_x(_as_x(Xn), boot_Vx=Vbar_x)
+        c2_l = float(chi2_from_eig_x(
+            w_x, Vx, M_x, _as_x(AtWb), _as_x(np.float64(btWb)),
+            jnp.float32(s)))
+        w_hi = np.asarray(exp_hi(w_x))
+        k_l = int((np.abs(w_hi) > EPS64 * np.abs(w_hi).max()).sum())
+        assert abs(c2_l - c2_true) / abs(c2_true) < 3e-2, \
+            (trial, c2_l, c2_true)
+        assert abs(k_l - k_true) <= 4, (trial, k_l, k_true)
+
+
 @pytest.mark.parametrize(
     "noise", [pytest.param(0.0, marks=pytest.mark.slow), 2e-5])
 def test_ladder_chi2_matches_f64_cutoff(noise):

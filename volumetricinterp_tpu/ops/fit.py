@@ -49,7 +49,7 @@ def record_stats(values, errors, A):
 
 def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
                      manual_log_params=None, regparam_mode: str = "exact",
-                     reg_taus_x=None, reg_eigR=None):
+                     reg_taus_x=None, reg_eigR=None, boot_VA=None):
     """Fit one record from expansion sufficient statistics (chi2/manual
     methods; GCV needs per-point quantities, see fit_one_record_x).
 
@@ -62,18 +62,33 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
     regularization matrices — (VR_x words [nreg, nb, nb], sR [nreg]);
     see _reg_mats_eig.
 
+    boot_VA: optional RECORD-INDEPENDENT starting basis for AtWA's ladder
+    (the eigenbasis of the scale-normalized BATCH-MEAN statistics, one
+    unbatched fresh ladder per dispatch — see _batch_mean_eig).  With it,
+    each record's AtWA decomposition is a BOOT ladder (window sweep +
+    grading tail; no n-size eigh, no five deflation-level eighs), cutting
+    the measured per-dispatch fresh-ladder cost 297 -> ~155 ms at
+    [128, 144, 144] (scripts/profile_exact.py, round 3).  Record-to-record
+    drift (weight scatter, QC-mask dropouts) is exactly the class of
+    perturbation the boot tail was built to absorb (ops/solve.py ladder
+    notes); parity receipts: tests/test_ladder.py
+    ::test_boot_from_batch_mean_basis + the day-scale oracle compare.
+
     Returns (C [nb], dC [nb, nb], chi2 [], log_alphas [nreg])."""
     dt = btWb_x[0].dtype
     nreg = reg_mats_x[0].shape[0]
-    # In exact mode, AtWA's fresh ladder decomposition is shared across
-    # every regularization matrix's search AND the final solve (which
+    # In exact mode, AtWA's ladder decomposition is shared across every
+    # regularization matrix's search AND the final solve (which
     # bootstraps from its eigenbasis): one n-size decomposition per
     # record instead of nreg + 2.
     eigA = None
     boot_Vx = None
     final_anchor = None
     if method == "chi2" and regparam_mode == "exact" and nreg > 0:
-        eigA = solve.normalized_eigh_x(AtWA_x)
+        if boot_VA is not None:
+            eigA = solve.normalized_eigh_boot_x(AtWA_x, boot_VA)
+        else:
+            eigA = solve.normalized_eigh_x(AtWA_x)
         boot_Vx = eigA[1]
     if nreg == 0:
         log_alphas = jnp.zeros((0,), dtype=dt)
@@ -168,17 +183,75 @@ def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
                             reg_taus_x=reg_taus_x, reg_eigR=reg_eigR)
 
 
+import os as _os
+
+BOOT_ATWA = _os.environ.get("VITPU_BOOT_ATWA", "0") == "1"
+# Boot each record's AtWA ladder from the batch-mean eigenbasis (see
+# fit_from_stats_x docstring).  SHIPS OFF — measured NEGATIVE result on a
+# real-basis day (scripts/day_check.py, round 3): the emulated-noise
+# ladder test passes (tests/test_ladder.py::test_boot_from_batch_mean_
+# basis — synthetic graded columns keep deep eigenvectors axis-aligned
+# and weight-stable), but on real AMISR-basis spectra the deep
+# eigenvectors come from near-cancellations that rotate O(1) under a 3%
+# QC-mask change, so the batch-mean basis is wrong by ~25 decades at the
+# bottom — beyond what the boot tail's sweep + two grading levels can
+# regrade (they cover ~13 decades).  Day receipts: 6 failed records (vs
+# 2), d(log10 alpha) median 1.09 decades vs the f64 oracle (vs ~0.03),
+# and WALL-CLOCK 10.57 s vs 9.98 s (the damaged basis degrades the
+# anchored evaluations' CG convergence downstream).  Exactly the trap
+# documented in CLAUDE.md: tune the ladder against REAL-basis records,
+# not synthetic graded matrices.
+
+
+def batch_mean_eig(AtWA_x):
+    """Record-independent boot basis: the eigenbasis of the SCALE-
+    NORMALIZED batch-mean statistics.
+
+    Each record is normalized by its own power-of-two scale before
+    averaging, so a chunk mixing parameters of wildly different physical
+    scales (single-pass multiparameter fits: W ~ 1e-20 for Ne, ~1e-4 for
+    temperatures) still averages same-magnitude matrices — an unnormalized
+    mean would be dominated by the largest-scale parameter and hand the
+    other parameters a useless starting basis.  The mean itself is only a
+    BOOT basis (exactness comes from the exact projections downstream),
+    so word-wise f32 averaging + renorm is plenty.  One UNBATCHED fresh
+    ladder per dispatch — eigh cost on this TPU is linear in batch, so
+    this costs ~1/nrec of the per-record fresh ladders it replaces."""
+    def norm_one(X_x):
+        s = solve._norm_scale_x(X_x)
+        return solve.exp_scale_pow2(X_x, 1.0 / s)
+
+    Xn = jax.vmap(norm_one)(AtWA_x)
+    Xbar = xprec.exp_renorm([jnp.mean(w, axis=0) for w in Xn],
+                            nwords=len(AtWA_x))
+    _, Vbar, _, _ = solve.normalized_eigh_x(Xbar)
+    return Vbar
+
+
 @partial(jax.jit, static_argnames=("method", "regparam_mode"))
 def _fit_records_core(b_x, W_x, mask, A_x, reg_mats_x, method: str = "chi2",
                       manual_log_params=None, regparam_mode: str = "exact",
                       reg_taus_x=None, reg_eigR=None):
     """Vmapped batched fit over expansion inputs (leading record axis on
     b_x/W_x/mask)."""
-    f = partial(fit_one_record_x, A_x=A_x, reg_mats_x=reg_mats_x,
-                method=method, manual_log_params=manual_log_params,
+    if method == "gcv":
+        f = partial(fit_one_record_x, A_x=A_x, reg_mats_x=reg_mats_x,
+                    method=method, manual_log_params=manual_log_params,
+                    regparam_mode=regparam_mode, reg_taus_x=reg_taus_x,
+                    reg_eigR=reg_eigR)
+        return jax.vmap(f, in_axes=(0, 0, 0))(b_x, W_x, mask)
+
+    AtWA_x, AtWb_x, btWb_x, N = jax.vmap(
+        lambda b, w, m: suff_stats_x(A_x, b, w, m))(b_x, W_x, mask)
+    boot_VA = None
+    if (BOOT_ATWA and method == "chi2" and regparam_mode == "exact"
+            and reg_mats_x[0].shape[0] > 0):
+        boot_VA = batch_mean_eig(AtWA_x)
+    f = partial(fit_from_stats_x, reg_mats_x=reg_mats_x, method=method,
+                manual_log_params=manual_log_params,
                 regparam_mode=regparam_mode, reg_taus_x=reg_taus_x,
-                reg_eigR=reg_eigR)
-    return jax.vmap(f, in_axes=(0, 0, 0))(b_x, W_x, mask)
+                reg_eigR=reg_eigR, boot_VA=boot_VA)
+    return jax.vmap(f, in_axes=(0, 0, 0, 0))(AtWA_x, AtWb_x, btWb_x, N)
 
 
 _CONST_SPLIT_CACHE: dict = {}

@@ -114,16 +114,16 @@ N_INNER_ROUNDS = 5  # bracket width 100 -> 100/65^5 ~ 9e-8 decades
 
 DEFECT_MODEL_RANGE = 0.5  # decades: linear D-model trust region around r0
 
-SEED_TAIL = os.environ.get("VITPU_SEED_TAIL", "full")
+SEED_TAIL = os.environ.get("VITPU_SEED_TAIL", "mid")
 # boot-ladder tail schedule for the SEED anchor (round 0).  Its consumers
 # are the sign-grade defect-loop evaluations only — the endgame re-anchor
 # (always 'full') re-derives root placement and the final solve — so a
-# cheaper tail is plausible here.  Day-scale A/B (scripts/day_check.py):
-# 'mid' holds ORACLE PARITY exactly (chi2 median 2.26% vs 2.25%, max
-# equal, same NaN set) but its wall-clock verdict was INCONCLUSIVE — the
-# tunnelled worker drifted 9.55 -> 16.09 s on the UNCHANGED default graph
-# between back-to-back runs, swamping the expected ~0.4 s delta.  'full'
-# ships; re-time when the worker is stable.
+# cheaper tail suffices here.  Day-scale A/B (scripts/day_check.py,
+# round 2): 'mid' holds ORACLE PARITY exactly (chi2 median 2.26% vs
+# 2.25%, max equal, same NaN set); round-3 stage profile: the full tail
+# costs ~98 ms of the seed boot ladder's 155 ms per 128-record dispatch,
+# 'mid' ~35 ms.  'mid' ships (round-3 day receipts in PARITY_NOTES #4);
+# VITPU_SEED_TAIL=full restores the old schedule.
 
 N_REFINE_DEFECT = int(os.environ.get("VITPU_NREFINE_DEFECT", "0"))
 # keep-solve refinement passes for DEFECT-LOOP evaluations (the endgame

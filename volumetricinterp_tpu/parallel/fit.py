@@ -225,6 +225,17 @@ def _stats_then_solve(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, method,
              out_shardings=sh2n)
     def solve(AtWA_s, AtWb_s, btWb_s, N, reg_s, mlp, taus_s,
               method=method, regparam_mode=regparam_mode):
+        from ..ops.fit import BOOT_ATWA, batch_mean_eig
+
+        boot_VA = None
+        if (BOOT_ATWA and method == "chi2" and regparam_mode == "exact"
+                and reg_s.shape[1] > 0):
+            # record-independent boot basis (ops/fit.batch_mean_eig);
+            # the record-axis mean over the sharded statistics is one
+            # tiny [nb, nb] collective, the fresh ladder of the mean is
+            # replicated compute
+            boot_VA = batch_mean_eig(unstack_x(AtWA_s, nw))
+
         def one(a_s, ab_s, bb_s, n):
             return fit_from_stats_x(
                 unstack_x(a_s, nw), unstack_x(ab_s, nw),
@@ -232,7 +243,8 @@ def _stats_then_solve(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, method,
                 method=method, manual_log_params=mlp,
                 regparam_mode=regparam_mode,
                 reg_taus_x=(None if taus_s is None
-                            else unstack_x(taus_s, ntw)))
+                            else unstack_x(taus_s, ntw)),
+                boot_VA=boot_VA)
 
         # record axis is axis 1 of the word-stacked statistics
         return jax.vmap(one, in_axes=(1, 1, 1, 0))(
