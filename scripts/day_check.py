@@ -112,6 +112,14 @@ def main():
                                  np.nan))
         la_o = np.log10(np.where(o["reg"][both] > 0, o["reg"][both], np.nan))
         dla = np.abs(la_t - la_o)
+        # THE parity metric is the DATA-DETERMINED one: the W-weighted
+        # field residual (docs/PARITY_NOTES.md #7 — raw C and deep alphas
+        # carry retention-arbitrary sub-cutoff directions, noise in the
+        # reference itself; 305/1000 records legitimately land decades
+        # apart in alpha on the chi2 staircase with both sides at their
+        # own nu)
+        wf = _weighted_field_diff(args.nrec, args.seed, out["C"], o["C"],
+                                  both)
         rep.update({
             "n_compared": int(both.sum()),
             "nan_mismatch": int((np.isnan(out["chi2"])
@@ -119,10 +127,40 @@ def main():
             "chi2_rel_median": float(np.median(rel)),
             "chi2_rel_p95": float(np.percentile(rel, 95)),
             "chi2_rel_max": float(np.max(rel)),
+            "wfield_rel_median": float(np.median(wf)),
+            "wfield_rel_p95": float(np.percentile(wf, 95)),
+            "wfield_rel_max": float(np.max(wf)),
             "dlog10alpha_median": float(np.nanmedian(dla)),
             "dlog10alpha_max": float(np.nanmax(dla)),
         })
     print(json.dumps(rep))
+
+
+def _weighted_field_diff(nrec, seed, C_t, C_o, both):
+    """Per-record relative W-weighted field residual between the two
+    coefficient sets: ||W^1/2 A (C_t - C_o)|| / ||W^1/2 A C_o||."""
+    from volumetricinterp_tpu.config import Config
+    from volumetricinterp_tpu.models.sphharmlag import Model
+    from volumetricinterp_tpu.io.amisr import read_datafile
+
+    cfg_text = build_inputs(nrec, seed)
+    model = Model(Config.from_text(cfg_text))
+    raw = os.path.join(CACHE, f"day_{nrec}_{seed}.h5")
+    utime, lat, lon, alt, value, error = read_datafile(
+        raw, "dens", [1e10, 1e13], [0.1, 10.0], [1, 2, 3, 4])
+    _, t, _ = model.transform_coord(lat, lon, alt)
+    model.ensure_theta_domain(float(np.max(np.asarray(t))))
+    A = np.asarray(model.basis(lat, lon, alt))
+    out = []
+    idx = np.where(both)[0]
+    for r in idx:
+        mask = np.isfinite(value[r])
+        W = np.where(mask, error[r], 1.0) ** -2.0 * mask
+        sw = np.sqrt(W)
+        num = np.linalg.norm(sw * (A @ (C_t[r] - C_o[r])))
+        den = np.linalg.norm(sw * (A @ C_o[r]))
+        out.append(num / max(den, 1e-300))
+    return np.asarray(out)
 
 
 if __name__ == "__main__":

@@ -300,15 +300,37 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
                                aR_x=R1_x, atau_x=atau1)
     nu, is_smooth, any_event = _ladder_outcome(chi2_floor, chi2_one, N)
 
-    # defect-corrected iteration, seeded at the root of chi2_fast + D0 =
-    # nu with D0 the PLATEAU defect chi2_floor - chi2_fast(1e-100)
     if tau_x is None:
         fast_at = lambda a_log: whitened_chi2_split(
             *pow10_split(jnp.asarray(a_log, dt)), lam, u, btWb_hi)
     else:
         fast_at = lambda a_log: whitened_chi2_tau_split(
             *pow10_split(jnp.asarray(a_log, dt)), lam, u, utau, btWb_hi)
-    d0 = chi2_floor - fast_at(-100.0)
+    fast_floor = fast_at(-100.0)
+
+    # FLOOR-FAILURE RESCUE (measured on the bench day, round 3): ~2/1000
+    # records carry a coupled near-cutoff wall that stalls the guarded CG
+    # keep-solve at alpha -> 0 — the exact chi2_floor comes back inflated
+    # 1.6-3.1x (device probe: record 459 floor 1457 vs f64 469; keep
+    # counts fine), no rung brackets, and the record NaN-fails where the
+    # f64 oracle finds an ordinary root (~1e-31).  At the root's alpha the
+    # spectrum is lifted by alpha R and the anchored evaluations are
+    # healthy — only the floor DECISION breaks.  Rescue: when the exact
+    # outcome finds NO event, re-derive the rung decision from the
+    # WHITENED floor (bracket-complete on every record of the day — the
+    # fast mode's finite_frac is 1.0) and seed the defect model at d0 = 0
+    # (the exact floor is untrusted here; the safeguarded bracket and the
+    # root-centered endgame re-derive the defect locally).  Strictly
+    # NaN-or-better: the fallback only fires where the answer was NaN.
+    nu_fb, smooth_fb, event_fb = _ladder_outcome(fast_floor, chi2_one, N)
+    use_fb = (~any_event) & event_fb
+    nu = jnp.where(use_fb, nu_fb, nu)
+    is_smooth = jnp.where(use_fb, smooth_fb, is_smooth)
+    any_event = any_event | event_fb
+
+    # defect-corrected iteration, seeded at the root of chi2_fast + D0 =
+    # nu with D0 the PLATEAU defect chi2_floor - chi2_fast(1e-100)
+    d0 = jnp.where(use_fb, 0.0, chi2_floor - fast_floor)
     r = _whitened_root_offset(lam, u, btWb_hi, nu, d0, utau=utau)
     r = jnp.clip(jnp.where(jnp.isnan(r), -50.0, r), ALPHA_MIN + 0.1, -0.1)
     lo = jnp.asarray(ALPHA_MIN, dt)   # f(lo) < 0 for active records
