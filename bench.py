@@ -119,8 +119,12 @@ QUAD_MODE = gauss
         rtt = time.perf_counter() - t0
         t0 = time.perf_counter()
         for _ in range(reps):
+            # host_alphas=False = the production dispatch path (the day
+            # pipeline converts alphas at materialize time); the default
+            # host conversion fences every call and would serialize the
+            # back-to-back dispatches this loop exists to measure
             r1 = fit_records(values, errors, A, reg_mats, method="chi2",
-                             regparam_mode=mode)
+                             regparam_mode=mode, host_alphas=False)
         sync(r1[2])
         return nrec * reps / (time.perf_counter() - t0 - rtt)
 

@@ -188,8 +188,8 @@ def test_boot_from_batch_mean_basis():
     b0 = A @ rng.normal(size=n)
 
     recs = []
-    for r in range(6):
-        scale = 1.0 if r < 3 else 1e-16  # two parameter groups
+    for r in range(4):
+        scale = 1.0 if r < 2 else 1e-16  # two parameter groups
         W = rng.uniform(0.5, 2.0, npts) * scale
         W[rng.random(npts) < 0.05] = 0.0  # QC dropouts
         b = b0 + 0.1 * rng.normal(size=npts)

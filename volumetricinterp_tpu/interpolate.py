@@ -434,8 +434,12 @@ class Interpolate:
                 np.asarray(manual_params, np.float64)
                 if manual_params is not None else None
             )
+            # one host copy of the reg matrices for the whole day: the
+            # per-chunk np.asarray(reg_mats) inside fit_records is a
+            # device->host fetch + content hash on the critical path
+            reg_mats = np.asarray(reg_mats)
 
-            def dispatch(s, e):
+            def chunk_inputs(s, e):
                 # TAIL-CHUNK PADDING: a day of 1000 records at chunk 128
                 # ends with a 104-record chunk, which would compile a
                 # SECOND whole fit graph (minutes cold through the dev
@@ -454,6 +458,10 @@ class Interpolate:
                     e_in[: e - s] = error[s:e]
                 else:
                     v_in, e_in = value[s:e], error[s:e]
+                return v_in, e_in, pad
+
+            def dispatch(s, e, prepared=None):
+                v_in, e_in, pad = chunk_inputs(s, e)
                 if multiproc:
                     from .parallel.distributed import fit_records_distributed
 
@@ -486,6 +494,8 @@ class Interpolate:
                         manual_params=mp,
                         regparam_mode=self.config.tpu.regparam_mode,
                         reg_taus=reg_taus,
+                        prepared=prepared,
+                        host_alphas=False,  # converted in materialize
                     )
                 tri = _pack_tri(dC)
                 if pad:
@@ -541,25 +551,63 @@ class Interpolate:
             wthread.start()
 
             def materialize(s, e, res):
+                from .ops.fit import log_alphas_to_raw
+
                 C, dC_tri, c2, rp = res
                 C_all[s:e] = np.asarray(C)
                 tri = np.asarray(dC_tri)
                 c2_all[s:e] = np.asarray(c2)
-                rp_all[s:e] = np.asarray(rp)
+                if isinstance(rp, np.ndarray):  # sharded/multiproc paths
+                    rp_all[s:e] = rp
+                else:  # plain path: device log10 alphas, fenced HERE
+                    rp_all[s:e] = log_alphas_to_raw(rp)
                 wq.put((s, e, tri))
 
             # pipeline: the (large) device->host covariance transfer of
-            # chunk i overlaps chunk i+1's compute, which matters both over
-            # PCIe and (especially) over the dev-tunnel transport
-            pending = None
-            for s in range(start0, nrec, chunk):
-                e = min(s + chunk, nrec)
-                res = dispatch(s, e)
+            # chunk i overlaps chunk i+1's compute, AND chunk i+1's host
+            # prep + ~6 MB upload is staged on a second worker thread
+            # under chunk i's compute (unoverlapped, the bandwidth-bound
+            # tunnel transfer costs ~140 ms of every ~920 ms dispatch —
+            # scripts/profile_exact.py round 3).  Single-process plain
+            # path only; the sharded/multiproc paths stage internally.
+            starts = list(range(start0, nrec, chunk))
+            prep_pool = None
+            prep_fut = None
+            if starts and not multiproc and mesh is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                from .ops.fit import prepare_fit_inputs as _prep
+
+                prep_pool = ThreadPoolExecutor(1)
+
+                def _prepare(s, e):
+                    v_in, e_in, _ = chunk_inputs(s, e)
+                    return _prep(v_in, e_in, A_np, reg_mats)
+
+                prep_fut = prep_pool.submit(_prepare, starts[0],
+                                            min(starts[0] + chunk, nrec))
+            try:
+                pending = None
+                for i, s in enumerate(starts):
+                    e = min(s + chunk, nrec)
+                    prepared = None
+                    if prep_fut is not None:
+                        prepared = prep_fut.result()
+                        if i + 1 < len(starts):
+                            s2 = starts[i + 1]
+                            prep_fut = prep_pool.submit(
+                                _prepare, s2, min(s2 + chunk, nrec))
+                        else:
+                            prep_fut = None
+                    res = dispatch(s, e, prepared=prepared)
+                    if pending is not None:
+                        materialize(*pending)
+                    pending = (s, e, res)
                 if pending is not None:
                     materialize(*pending)
-                pending = (s, e, res)
-            if pending is not None:
-                materialize(*pending)
+            finally:
+                if prep_pool is not None:
+                    prep_pool.shutdown(wait=False)
             wq.put(None)
             wthread.join()
             if werr:

@@ -287,7 +287,13 @@ def prepare_fit_inputs(values, errors, A, reg_mats):
     (interpolate.py:516-524) in numpy f64, then backend-appropriate
     expansion splitting (3-word f32 on TPU — exact for f64; 1-word f64
     elsewhere).  Splitting must happen on host: f64 does not survive the
-    device transfer on this TPU."""
+    device transfer on this TPU.
+
+    On TPU the five per-chunk word planes (b hi/lo, W hi/lo, mask) ride
+    ONE packed [5, nrec, npts] f32 transfer and are sliced apart on
+    device: five separate ~1.2 MB device_puts through the dev tunnel cost
+    ~140 ms of the measured 920 ms warm dispatch (scripts/
+    profile_exact.py round 3 — per-transfer round trips, not bandwidth)."""
     values = np.asarray(values, np.float64)
     errors = np.asarray(errors, np.float64)
     A = np.asarray(A, np.float64)
@@ -298,18 +304,25 @@ def prepare_fit_inputs(values, errors, A, reg_mats):
     W = np.where(mask, W, 0.0)
     on_tpu = jax.default_backend() == "tpu"
 
-    def split(x, nw=3):
-        if on_tpu:
-            return tuple(map(jnp.asarray, xprec.split_f64_host(x, nw)))
-        return (jnp.asarray(x),)
-
     # A/b/W travel as TWO words: their 2^-48 elementwise representation
     # error perturbs the statistics 100x less than the reference's own
     # f64 accumulation noise (see ops/solve.suff_stats_x); the
     # regularization matrices stay 3-word (cheap, and they enter X
     # formation directly).  A and reg_mats are fit-constant: their
     # split/upload is memoized across record chunks.
-    return (split(b, 2), split(W, 2), jnp.asarray(mask.astype(np.float32)),
+    if on_tpu:
+        b_w = xprec.split_f64_host(b, 2)
+        W_w = xprec.split_f64_host(W, 2)
+        packed = jnp.asarray(np.stack(
+            list(b_w) + list(W_w) + [mask.astype(np.float32)]))
+        b_x = (packed[0], packed[1])
+        W_x = (packed[2], packed[3])
+        mask_d = packed[4]
+    else:
+        b_x = (jnp.asarray(b),)
+        W_x = (jnp.asarray(W),)
+        mask_d = jnp.asarray(mask.astype(np.float32))
+    return (b_x, W_x, mask_d,
             _split_fit_constant(A, 2), _split_fit_constant(reg_mats, 3))
 
 
@@ -352,7 +365,7 @@ def _reg_mats_eig(reg_mats, reg_mats_x):
 
 def fit_records(values, errors, A, reg_mats, method: str = "chi2",
                 manual_params=None, regparam_mode: str = "exact",
-                reg_taus=None):
+                reg_taus=None, prepared=None, host_alphas=True):
     """Batched fit of a record block (host entry point).
 
     values/errors: [nrec, npoints]; A: [npoints, nbasis]; reg_mats:
@@ -367,9 +380,16 @@ def fit_records(values, errors, A, reg_mats, method: str = "chi2",
     regularization (penalty alpha (C'RC - 2 tau'C), a pull toward the
     target profile with tau = R @ C_target; the reference only hints at
     this — sphharmlag.py:186,241-259 — and never implements it).
+
+    prepared: optional pre-staged ``prepare_fit_inputs`` result — the
+    day pipeline prepares + uploads chunk i+1 on a worker thread while
+    chunk i computes (the per-chunk host->device transfer is ~6 MB and
+    bandwidth-bound through the dev tunnel; unoverlapped it costs
+    ~140 ms of every ~920 ms dispatch).
     """
-    b_x, W_x, mask, A_x, reg_mats_x = prepare_fit_inputs(
-        values, errors, A, reg_mats)
+    b_x, W_x, mask, A_x, reg_mats_x = (
+        prepared if prepared is not None
+        else prepare_fit_inputs(values, errors, A, reg_mats))
     reg_taus_x = None
     if reg_taus is not None:
         on_tpu = jax.default_backend() == "tpu"
@@ -392,13 +412,24 @@ def fit_records(values, errors, A, reg_mats, method: str = "chi2",
         b_x, W_x, mask, A_x, reg_mats_x, method=method,
         manual_log_params=mlp, regparam_mode=regparam_mode,
         reg_taus_x=reg_taus_x, reg_eigR=reg_eigR)
+    if not host_alphas:
+        # pipelined callers: the host conversion below BLOCKS on the whole
+        # chunk's computation (np.asarray fences the dispatch), killing
+        # the fetch/compute overlap of the day pipeline — they take the
+        # device-side LOG10 alphas and convert at materialize time
+        # (log_alphas_to_raw)
+        return C, dC, chi2, log_alphas
+    return C, dC, chi2, log_alphas_to_raw(log_alphas)
+
+
+def log_alphas_to_raw(log_alphas):
+    """Device log10 alphas -> the reference's RAW alphas, on HOST f64:
+    device arrays are f32 on this TPU and raw alphas reach 1e-50 —
+    jnp.asarray would underflow them to 0 (a reporting bug that
+    masqueraded as 17% of a day classified too-smooth)."""
     la = np.asarray(log_alphas, np.float64)
     with np.errstate(over="ignore"):
-        rp = 10.0 ** la  # -inf -> 0.0 (too smooth), NaN -> NaN
-    # rp stays HOST f64: device arrays are f32 on this TPU and raw alphas
-    # reach 1e-50 — jnp.asarray would underflow them to 0 (a reporting
-    # bug that masqueraded as 17% of a day classified too-smooth)
-    return C, dC, chi2, rp
+        return 10.0 ** la  # -inf -> 0.0 (too smooth), NaN -> NaN
 
 
 def fit_one_record(values, errors, A, reg_mats, method: str,
