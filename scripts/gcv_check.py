@@ -63,6 +63,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--oracle", action="store_true")
     ap.add_argument("--nrec", type=int, default=64)
+    ap.add_argument("--mode", default="exact",
+                    help="regparam_mode for the TPU run: exact | fast")
+    ap.add_argument("--regret", action="store_true",
+                    help="CPU: f64-objective REGRET of the cached TPU "
+                         "alphas vs the oracle's (the honest GCV parity "
+                         "metric — the objective valley is decades flat)")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -71,16 +77,19 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    if args.oracle:
+    if args.oracle or args.regret:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    if args.regret:
+        return run_regret(args)
 
     from volumetricinterp_tpu.ops.fit import fit_records
 
     values, errors, A, reg_mats = build_records(args.nrec)
-    tag = "oracle" if args.oracle else "tpu"
+    tag = "oracle" if args.oracle else f"tpu_{args.mode}"
     t0 = time.perf_counter()
-    C, dC, chi2, rp = fit_records(values, errors, A, reg_mats, method="gcv")
+    C, dC, chi2, rp = fit_records(values, errors, A, reg_mats, method="gcv",
+                                  regparam_mode=args.mode)
     wall = time.perf_counter() - t0
     np.savez(os.path.join(CACHE, f"gcv_{tag}_{args.nrec}.npz"),
              C=C, chi2=np.asarray(chi2), rp=rp)
@@ -109,6 +118,46 @@ def main():
             "chi2_rel_max": float(np.max(rel)),
         })
     print(json.dumps(rep))
+
+
+def run_regret(args):
+    """oracle_objective(our alpha) / oracle_objective(oracle alpha) - 1,
+    per record, in f64 — GCV's valley is decades-flat in log10(alpha), so
+    raw alpha distance is noise; regret is what a user would lose."""
+    import jax.numpy as jnp
+    from volumetricinterp_tpu.ops.regparam import gcv_objective
+    from volumetricinterp_tpu.ops.solve import suff_stats
+
+    t = np.load(os.path.join(CACHE, f"gcv_tpu_{args.mode}_{args.nrec}.npz"))
+    o = np.load(os.path.join(CACHE, f"gcv_oracle_{args.nrec}.npz"))
+    values, errors, A, reg_mats = build_records(args.nrec)
+    R = jnp.asarray(reg_mats[0])
+    rt, ro = t["rp"][:, 0], o["rp"][:, 0]
+    regret, dla = [], []
+    for r in range(args.nrec):
+        if not (np.isfinite(rt[r]) and np.isfinite(ro[r])):
+            continue
+        mask = np.isfinite(values[r]).astype(float)
+        W = np.where(mask > 0, errors[r], 1.0) ** -2.0 * mask
+        b = np.where(mask > 0, values[r], 0.0)
+        AtWA, AtWb, btWb, N = suff_stats(
+            jnp.asarray(A), jnp.asarray(b), jnp.asarray(W),
+            jnp.asarray(mask))
+        a_ = (AtWA, AtWb, R, jnp.asarray(A), jnp.asarray(b),
+              jnp.asarray(W), jnp.asarray(mask))
+        f_t = float(gcv_objective(np.log10(rt[r]), *a_))
+        f_o = float(gcv_objective(np.log10(ro[r]), *a_))
+        regret.append(f_t / f_o - 1.0)
+        dla.append(abs(np.log10(rt[r]) - np.log10(ro[r])))
+    regret = np.asarray(regret)
+    print(json.dumps({
+        "n": len(regret),
+        "nonconverged_tpu": int(np.isnan(rt).sum()),
+        "regret_median": float(np.median(regret)),
+        "regret_p95": float(np.percentile(regret, 95)),
+        "regret_max": float(np.max(regret)),
+        "dlog10alpha_median": float(np.median(dla)),
+    }))
 
 
 if __name__ == "__main__":

@@ -100,10 +100,28 @@ def test_sharded_gcv_records_axis(small_config_text):
     # Nelder-Mead is decision-chain chaotic: eps-level objective noise
     # (different batch sizes fuse matmuls differently) can flip a
     # reflect/contract choice and change the trajectory outright, exactly
-    # as the reference's scipy NM does across BLAS builds.  Assert the
-    # plumbing: shapes, and agreement on the records where both converged.
+    # as the reference's scipy NM does across BLAS builds — and the GCV
+    # valley is decades-FLAT in log10(alpha) (PARITY_NOTES #6), so raw
+    # alpha distance is the wrong gauge.  Assert the plumbing (shapes,
+    # convergence) and REGRET: on converged records, each path's alpha
+    # scores within a few % of the other's under the exact f64 LOO
+    # objective.
+    from volumetricinterp_tpu.ops.regparam import gcv_objective
+    from volumetricinterp_tpu.ops.solve import suff_stats
+
     a1, a2 = np.asarray(a1).ravel(), np.asarray(a2).ravel()
     assert a1.shape == a2.shape == (nrec,)
     both = np.isfinite(a1) & np.isfinite(a2)
     assert both.sum() >= 1
-    np.testing.assert_allclose(a2[both], a1[both], rtol=0.2)
+    for r in np.where(both)[0]:
+        mask = np.isfinite(values[r]).astype(float)
+        W = np.where(mask > 0, errors[r], 1.0) ** -2.0 * mask
+        b = np.where(mask > 0, values[r], 0.0)
+        AtWA, AtWb, btWb, N = suff_stats(
+            jnp.asarray(A), jnp.asarray(b), jnp.asarray(W),
+            jnp.asarray(mask))
+        args = (AtWA, AtWb, jnp.asarray(psi), jnp.asarray(A),
+                jnp.asarray(b), jnp.asarray(W), jnp.asarray(mask))
+        f1 = float(gcv_objective(np.log10(a1[r]), *args))
+        f2 = float(gcv_objective(np.log10(a2[r]), *args))
+        assert abs(f2 / f1 - 1.0) < 0.05, (r, a1[r], a2[r], f1, f2)

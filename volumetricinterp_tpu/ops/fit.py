@@ -154,21 +154,36 @@ def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
 
     nreg = reg_mats_x[0].shape[0]
     if method == "gcv" and nreg > 0:
-        # GCV needs per-point quantities; plain-array objective
-        # (f32-grade on TPU, exact on CPU — docs/PARITY_NOTES.md)
-        A = exp_hi(A_x)
+        # GCV needs per-point quantities.  'exact' runs the anchored
+        # expansion objective (exact T = A V + exact M shifts — the
+        # plain-f32 objective scattered alphas 10.9 decades and failed
+        # 23% of production-order records on device; receipts in
+        # ops/regparam.py); 'fast' keeps the whitened jitter objective
+        # (documented envelope).
         b = exp_hi(b_x)
         Wm = jnp.where(mask > 0, exp_hi(W_x), 0.0)
-        log_alphas = jnp.stack([
-            regparam.gcv_reg_param(
-                exp_hi(AtWA_x), exp_hi(AtWb_x),
-                exp_hi(tuple(w[i] for w in reg_mats_x)),
-                A, b, Wm, mask,
-                regparam_mode=("fast" if regparam_mode == "fast"
-                               else "exact"),
-            )
-            for i in range(nreg)
-        ])
+        if regparam_mode == "fast":
+            A = exp_hi(A_x)
+            log_alphas = jnp.stack([
+                regparam.gcv_reg_param(
+                    exp_hi(AtWA_x), exp_hi(AtWb_x),
+                    exp_hi(tuple(w[i] for w in reg_mats_x)),
+                    A, b, Wm, mask, regparam_mode="fast",
+                )
+                for i in range(nreg)
+            ])
+        else:
+            eigA = solve.normalized_eigh_x(AtWA_x)
+            log_alphas = jnp.stack([
+                regparam.gcv_reg_param_x(
+                    AtWA_x, AtWb_x, tuple(w[i] for w in reg_mats_x),
+                    A_x, b, Wm, mask, eigA=eigA,
+                    eigR=(None if reg_eigR is None else
+                          (tuple(w[i] for w in reg_eigR[0]),
+                           reg_eigR[1][i])),
+                )
+                for i in range(nreg)
+            ])
         C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x,
                                     log_alphas)
         bad = jnp.any(jnp.isnan(log_alphas))
@@ -404,7 +419,7 @@ def fit_records(values, errors, A, reg_mats, method: str = "chi2",
         with np.errstate(divide="ignore"):
             mlp = jnp.asarray(np.log10(mp))
     reg_eigR = None
-    if (method == "chi2" and regparam_mode == "exact"
+    if (method in ("chi2", "gcv") and regparam_mode == "exact"
             and np.asarray(reg_mats).shape[0] > 0):
         reg_eigR = _reg_mats_eig(np.asarray(reg_mats, np.float64),
                                  reg_mats_x)

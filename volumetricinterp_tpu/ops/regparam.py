@@ -591,6 +591,141 @@ def chi2_reg_param_fast(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
 # ---------------------------------------------------------------------------
 # GCV via exact LOO identity + scipy-faithful 1-D Nelder-Mead
 # ---------------------------------------------------------------------------
+#
+# PRECISION (round-3 device receipts, scripts/gcv_check.py, nbasis=144 on
+# real-basis statistics): the plain-f32 objective is NOT a benign envelope —
+# 23% of records failed to converge and converged alphas scattered 10.9
+# decades median from the f64 oracle; the whitened 'fast' objective
+# converges but its jitter floor distorts the landscape (18 decades, chi2
+# 20x).  The failure mechanism is the hat diagonal: h_i = W_i a_i'X^-1 a_i
+# expands as sum_k t_ik^2 / w_k with t = V'a_i — ALL-POSITIVE terms, but
+# the deep-mode components t_ik sit 8+ decades below ||a_i||, an f32 dot
+# product returns noise ~6e-8 ||a_i|| for them, and noise^2 / w_k explodes
+# (h errors of O(10), denominators 1 - h crossing zero).  The cure is ONE
+# exact-sliced Ozaki product T = A V per eigenbasis — every entry of T
+# correct RELATIVE to itself — after which f32 is fine everywhere
+# downstream (the objective needs ~1e-3 relative): gcv_objective_anchored
+# below, the production GCV path on both backends.
+
+def _gcv_basis_bundle(Vx, AtWA_x, R_x, AtWb_x, A_x):
+    """Per-eigenbasis precomputation for the anchored GCV objective:
+    exact projections of BOTH pencil sides, the projected rhs, and the
+    exact design-row projection T = A V (the one product whose f32
+    evaluation destroys the hat diagonal — see the section comment)."""
+    PA_x = solve._project_x(AtWA_x, Vx)
+    PR_x = solve._project_x(R_x, Vx)
+    u_x = ozaki_mm(solve._vxT(Vx), tuple(x[..., None] for x in AtWb_x),
+                   nwords=2)
+    u_x = tuple(w[..., 0] for w in u_x)
+    T_hi = exp_hi(ozaki_mm(A_x, Vx, nwords=1))
+    return {"PA_x": PA_x, "PR_x": PR_x, "u_x": u_x, "T": T_hi}
+
+
+def gcv_objective_anchored(a_log, bundle, b, W, mask, axis_name=None):
+    """Sum of weighted squared LOO residuals at reg param 10^a_log from an
+    exact basis bundle (production path, both backends).
+
+    M(alpha) = V'(AtWA + alpha R)V is formed by EXACT shift from the
+    bundle's projections; both LOO ingredients then come from ONE ridged
+    f32-grade kept-block inverse on the unit-diagonal scaled system:
+
+        yhat_i = t_i' M^-1 u / s,      h_i = W_i t_i' M^-1 t_i / s ,
+
+    with t the EXACT T = A V rows (the one product whose f32 evaluation
+    destroys the hat diagonal — see the section comment).  Unlike chi^2
+    there is no deep cancellation in these outputs (r = yhat - b cancels
+    only to the ~5% residual level), so f32 arithmetic downstream of the
+    exact T/M/u is inside the objective's ~1e-3 tolerance.  The ridge
+    (1e-4 on the unit-diagonal system) bounds the knee regime where the
+    diag keep rule over-keeps deep alpha-R-dominated modes whose kept
+    block is near-singular (measured: keep 102 vs true 92, the LOO terms
+    spiking 1000x with an unguarded inverse)."""
+    from .solve import _norm_scale_x, _pow2_exp_i, mul_pow2i
+
+    dt = exp_hi(bundle["PA_x"]).dtype
+    m, k = pow10_split(jnp.asarray(a_log, dt))
+    aPR_x = exp_mul_split(bundle["PR_x"], m, k)
+    M_x = exp_add(bundle["PA_x"], aPR_x, nwords=3)
+    s = _norm_scale_x(M_x)
+    Mn_x = solve.exp_scale_pow2(M_x, 1.0 / s)
+    Mh = exp_hi(Mn_x)
+    w_hi = jnp.diagonal(Mh, axis1=-2, axis2=-1)
+    aw = jnp.abs(w_hi)
+    keep = aw > solve.EPS64 * jnp.max(aw)
+    is64 = Mh.dtype == jnp.float64
+    n = Mh.shape[-1]
+    sd = jnp.sqrt(jnp.maximum(jnp.abs(jnp.where(keep, w_hi, 1.0)),
+                              jnp.finfo(Mh.dtype).tiny))
+    km = keep[..., None, :] & keep[..., :, None]
+    eye = jnp.eye(n, dtype=Mh.dtype)
+    Msc = jnp.where(km, Mh / (sd[..., None, :] * sd[..., :, None]), eye)
+    Minv_sc = jnp.linalg.inv(Msc + 1e-4 * eye)
+    Minv_sc = jnp.where(km, Minv_sc, 0.0)
+    T = bundle["T"]
+    Tk = jnp.where(keep[..., None, :], T / sd[..., None, :], 0.0)
+    uk = jnp.where(keep, exp_hi(bundle["u_x"]) / sd, 0.0)
+    yhat = Tk @ (Minv_sc @ uk[..., None])[..., 0]
+    h = jnp.einsum("...pi,...ij,...pj->...p", Tk, Minv_sc, Tk)
+    Wm = jnp.where(mask > 0, W, 0.0)
+    if is64:
+        yhat = yhat / s
+        h = Wm * h / s
+    else:
+        j = _pow2_exp_i(s)
+        yhat = mul_pow2i(yhat, -j)
+        h = mul_pow2i(Wm * h, -j)
+    r = (yhat - b) / (1.0 - h)
+    r = jnp.where(mask > 0, r, 0.0)
+    out = jnp.sum(r * r * Wm, axis=-1)
+    if axis_name is not None:
+        out = lax.psum(out, axis_name)
+    return out
+
+
+def gcv_reg_param_x(AtWA_x, AtWb_x, R_x, A_x, b, W, mask, eigA=None,
+                    eigR=None, axis_name=None):
+    """GCV regularization parameter from EXPANSION inputs (production
+    path): scipy-faithful Nelder-Mead over the anchored exact objective.
+
+    Two basis bundles cover the whole alpha line: AtWA's ladder basis
+    (data-dominant alphas) and R's (regularization-dominant) — each
+    objective evaluation picks the side that dominates X(alpha), exactly
+    like the chi2 search's X(1) endpoint.  ``eigA``/``eigR`` optionally
+    supply the ladder decompositions (eigR is fit-constant and memoized
+    by ops/fit._reg_mats_eig).
+
+    Returns LOG10(alpha); NaN when the minimizer fails to converge
+    (reference interpolate.py:292-293)."""
+    if eigA is None:
+        eigA = normalized_eigh_x(AtWA_x)
+    VA_x = eigA[1]
+    sA = eigA[2]
+    if eigR is not None:
+        VR_x, sR = eigR
+    else:
+        _, VR_x, sR, _ = normalized_eigh_x(R_x)
+    bun_A = _gcv_basis_bundle(VA_x, AtWA_x, R_x, AtWb_x, A_x)
+    bun_R = _gcv_basis_bundle(VR_x, AtWA_x, R_x, AtWb_x, A_x)
+    dt = exp_hi(AtWb_x).dtype
+    # dominance threshold in log10(alpha): alpha sR >= sA  <=>
+    # a_log >= log10(sA / sR); sA/sR are exact powers of two
+    thresh = (jnp.log2(sA) - jnp.log2(sR)) * jnp.asarray(0.30102999566398,
+                                                         dt)
+
+    def obj(a_log):
+        oA = gcv_objective_anchored(a_log, bun_A, b, W, mask,
+                                    axis_name=axis_name)
+        oR = gcv_objective_anchored(a_log, bun_R, b, W, mask,
+                                    axis_name=axis_name)
+        return jnp.where(a_log >= thresh, oR, oA)
+
+    # f32 backends need a relative fatol component (see nelder_mead_1d);
+    # 1e-5 covers the measured objective noise (~sqrt(npoints) * eps_f32)
+    frel = 0.0 if dt == jnp.float64 else 1e-5
+    x, ok = nelder_mead_1d(obj, jnp.asarray(GCV_ALPHA0, dt),
+                           fatol_rel=frel)
+    return jnp.where(ok, x, jnp.nan)
+
 
 GCV_ALPHA0 = -20.0  # interpolate.py:288
 NM_XATOL = 1e-4
@@ -658,7 +793,7 @@ def gcv_objective_fast(a_log, lam, u, T, T2, b, W, mask, axis_name=None):
 
 
 def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER,
-                   maxfev=NM_MAXFEV):
+                   maxfev=NM_MAXFEV, fatol_rel=0.0):
     """scipy.optimize.minimize(method='Nelder-Mead') for 1-D problems,
     replicated as a lax.while_loop.  Returns (x_best, converged).
 
@@ -666,7 +801,15 @@ def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER,
     the trajectory scipy would take: 2 initial evals, then 2 per iteration
     (reflection + expansion-or-contraction) plus 1 more when the iteration
     shrinks — even though this vectorized replica computes all candidate
-    points every iteration."""
+    points every iteration.
+
+    ``fatol_rel``: additional RELATIVE function tolerance, needed on f32
+    backends — scipy's fatol is ABSOLUTE (1e-4) and an f32 objective of
+    magnitude ~1e3 carries ~1e-3 of arithmetic noise, so the reference's
+    literal criterion can never trigger there (measured: every
+    production-order record hit the maxfev cap and reported
+    non-convergence).  Convergence becomes
+    |f1 - f0| <= fatol + fatol_rel * |f0|."""
     nonzdelt = 0.05
     zdelt = 0.00025
     x1 = jnp.where(x0 != 0.0, (1.0 + nonzdelt) * x0, zdelt)
@@ -676,10 +819,13 @@ def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER,
     xs = jnp.where(f0 <= f1, jnp.stack([x0, x1]), jnp.stack([x1, x0]))
     fs = jnp.where(f0 <= f1, jnp.stack([f0, f1]), jnp.stack([f1, f0]))
 
+    def _ftol(fs):
+        return fatol + fatol_rel * jnp.abs(fs[0])
+
     def cond(state):
         xs, fs, it, fev = state
         done = (jnp.abs(xs[1] - xs[0]) <= xatol) \
-            & (jnp.abs(fs[1] - fs[0]) <= fatol)
+            & (jnp.abs(fs[1] - fs[0]) <= _ftol(fs))
         return (~done) & (it < maxiter) & (fev < maxfev)
 
     def body(state):
@@ -729,7 +875,7 @@ def nelder_mead_1d(f, x0, xatol=NM_XATOL, fatol=NM_FATOL, maxiter=NM_MAXITER,
     xs, fs, it, fev = lax.while_loop(
         cond, body, (xs, fs, jnp.asarray(0), jnp.asarray(2)))
     converged = (jnp.abs(xs[1] - xs[0]) <= xatol) \
-        & (jnp.abs(fs[1] - fs[0]) <= fatol)
+        & (jnp.abs(fs[1] - fs[0]) <= _ftol(fs))
     return xs[0], converged
 
 

@@ -145,18 +145,28 @@ def _gcv_stage(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, regparam_mode):
             AtWA_x = psum_x(AtWA_x, "points")
             AtWb_x = psum_x(AtWb_x, "points")
             btWb_x = psum_x(btWb_x, "points")
-            log_a = jnp.stack([
-                regparam.gcv_reg_param(
-                    exp_hi(AtWA_x), exp_hi(AtWb_x),
-                    exp_hi(tuple(w[i] for w in regs)),
-                    exp_hi(A_blk), exp_hi(bb),
-                    jnp.where(mm > 0, exp_hi(ww), 0.0), mm,
-                    axis_name="points",
-                    regparam_mode=("fast" if regparam_mode == "fast"
-                                   else "exact"),
-                )
-                for i in range(nreg)
-            ])
+            Wm = jnp.where(mm > 0, exp_hi(ww), 0.0)
+            if regparam_mode == "fast":
+                log_a = jnp.stack([
+                    regparam.gcv_reg_param(
+                        exp_hi(AtWA_x), exp_hi(AtWb_x),
+                        exp_hi(tuple(w[i] for w in regs)),
+                        exp_hi(A_blk), exp_hi(bb), Wm, mm,
+                        axis_name="points", regparam_mode="fast",
+                    )
+                    for i in range(nreg)
+                ])
+            else:
+                # anchored exact objective on the LOCAL point shard (T
+                # rows local, objective psum'd); the replicated stats
+                # ladder is computed per shard — small vs the NM loop
+                log_a = jnp.stack([
+                    regparam.gcv_reg_param_x(
+                        AtWA_x, AtWb_x, tuple(w[i] for w in regs),
+                        A_blk, exp_hi(bb), Wm, mm, axis_name="points",
+                    )
+                    for i in range(nreg)
+                ])
             C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, regs,
                                         log_a)
             bad = jnp.any(jnp.isnan(log_a))
