@@ -123,15 +123,33 @@ class GridEvaluator:
     # -- per-record effective coefficients ------------------------------
 
     def fold_coeffs(self, C):
-        """Ceff[2, npairs_pad, maxk]: branch 0 = cos (m>=0), 1 = sin (m<0)."""
+        """Ceff[2, npairs_pad, maxk]: branch 0 = cos (m>=0), 1 = sin (m<0).
+
+        Memoized by content (small LRU): repeated evaluations of the SAME
+        coefficient vector (altitude slabs, the sharded product path, the
+        bench loops) would otherwise pay a host fold + device upload per
+        call — ~latency-bound through a tunnelled device, measured as the
+        2-3x run-to-run spread of the sharded grid-eval bench."""
+        import hashlib
+
         C = np.asarray(C, dtype=np.float64).reshape(-1)
+        key = hashlib.sha1(C.tobytes()).digest()
+        cache = self.__dict__.setdefault("_ceff_cache", {})
+        hit = cache.get(key)
+        if hit is not None:
+            cache[key] = cache.pop(key)  # LRU touch
+            return hit
         ceff = np.zeros((2, self.npairs_pad, self.maxk))
         np.add.at(
             ceff,
             ((self._m_n < 0).astype(int), self._pair_n, self._k_n),
             self._scale * C,
         )
-        return jnp.asarray(ceff, dtype=self.dtype)
+        out = jnp.asarray(ceff, dtype=self.dtype)
+        while len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        cache[key] = out
+        return out
 
     # -- evaluation ------------------------------------------------------
 
