@@ -22,6 +22,21 @@ if os.environ.get("VITPU_TESTS_ON_TPU", "0") != "1":
 
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the expansion/ladder graphs compile slowly on
+# this 1-core host and dominate suite wall time; caching them on disk makes
+# re-runs start warm (first run populates).  Separate dir from the TPU
+# cache (.jax_cache) so TPU executables and CPU test executables never
+# share an eviction budget.  Subprocess-spawning tests (CLI, distributed)
+# inherit it through the environment.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache_tests"))
+import jax as _jax_cc  # noqa: E402
+
+_jax_cc.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+_jax_cc.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 
