@@ -122,7 +122,6 @@ def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_ref,
     # acos(q) = atan2(sqrt(1-q^2), q), with the hand-rolled atan2 above
     q = rz / r
     tt = _atan2f(jnp.sqrt(jnp.maximum(1.0 - q * q, np.float32(0.0))), q)
-    pt = _atan2f(ry, rx)
     zt = np.float32(100.0) * (r * np.float32(1.0 / RE) - 1.0)
 
     half = (theta_hi - theta_lo) * 0.5
@@ -138,8 +137,9 @@ def _kernel(lat_ref, lon_ref, alt_ref, coef_ref, ceff_ref,
     rho_h = jnp.sqrt(jnp.maximum(rx * rx + ry * ry, np.float32(1e-30)))
     cos1 = rx / rho_h
     sin1 = ry / rho_h
-    cosm = [jnp.ones_like(pt), cos1]
-    sinm = [jnp.zeros_like(pt), sin1]
+    # phi itself is never needed: cos/sin come from the rotated coords
+    cosm = [jnp.ones_like(cos1), cos1]
+    sinm = [jnp.zeros_like(cos1), sin1]
     for m in range(2, maxl):
         cosm.append(2.0 * cos1 * cosm[-1] - cosm[-2])
         sinm.append(2.0 * cos1 * sinm[-1] - sinm[-2])

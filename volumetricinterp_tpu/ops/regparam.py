@@ -73,19 +73,30 @@ GRID_CHUNK = 8  # exact_grid: alphas evaluated per sequential round
 # ~ANCHOR_TRUST * N_DEFECT decades around the whitened seed — far beyond
 # the measured defect-root distances (PARITY_NOTES #4: 'exact' vs
 # 'exact_grid' max 0.036 decades).
-N_DEFECT = 9   # exact-evaluation defect iterations; each contracts the
+N_DEFECT = int(os.environ.get("VITPU_NDEFECT", "9"))
+# exact-evaluation defect iterations; each contracts the
 # root error by the local variability of D(alpha) = chi2_exact - chi2_fast
 # relative to chi2's slope (1e-1..1e-2 per step on typical records; up to
 # ~0.5 inside the cutoff transition region of straddling records), with a
-# monotone-bracket fallback bounding pathological records
+# monotone-bracket fallback bounding pathological records.  9 STAYS:
+# a TPU day-scale A/B (scripts/ab_knobs.py, round 3) measured 7 as
+# parity-neutral against the f64 oracle, but on CPU/f64 — where the
+# search IS the oracle — 7 rounds leave a curvature-regularized record's
+# bracket wide enough to miss chi2 = nu by 0.7% (caught by
+# test_against_reference::test_curvature_regularization_matches_reference
+# at rtol 1e-3); the ~25 ms/dispatch saving is not worth degrading the
+# reference-grade path
 REANCHOR_ROUNDS = (0,)  # rounds that pay a full boot ladder.  With the
 # 6-decade trust radius and the root-centered endgame re-anchor, a
 # mid-loop re-anchor is redundant (A/B'd at day scale: see the commit
 # trail); the seed anchor covers the defect loop alone.
-N_POLISH = 3  # post-loop anchored rounds centered on the converged
+N_POLISH = int(os.environ.get("VITPU_NPOLISH", "2"))
+# post-loop anchored rounds centered on the converged
 # root: their anchor sits AT the candidate (one extra boot ladder), so
 # every polish evaluation runs at delta ~ 0 — fresh-ladder accuracy
-# where it matters, and the final solve reuses the same anchor
+# where it matters, and the final solve reuses the same anchor.  2 ships
+# (A/B receipts under N_DEFECT above: the polish evaluations converge in
+# one round on healthy records; the second is the safety margin)
 BRACKET_PAD_PER_DEC = 0.08  # decades of bracket-update slack per decade
 # of anchor distance beyond PAD_FREE_RADIUS: an anchored evaluation far
 # from its anchor carries ~1e-3..1e-2 relative chi^2 drift, enough to
@@ -124,6 +135,18 @@ SEED_TAIL = os.environ.get("VITPU_SEED_TAIL", "mid")
 # costs ~98 ms of the seed boot ladder's 155 ms per 128-record dispatch,
 # 'mid' ~35 ms.  'mid' ships (round-3 day receipts in PARITY_NOTES #4);
 # VITPU_SEED_TAIL=full restores the old schedule.
+
+ENDGAME_TAIL = os.environ.get("VITPU_ENDGAME_TAIL", "mid")
+# boot-ladder tail schedule for the ROOT-CENTERED endgame re-anchor (and
+# thus the final-solve anchor).  This anchor decides final root placement
+# and the returned C/dC/chi2, so the bar is higher than the seed
+# anchor's: 'mid' KEEPS the half-size cutoff-zone grading level (the
+# dense near-cutoff wall is what decides keeps) and drops only the n/4
+# touch-up level + extra polish rounds.  Day-scale A/B vs the f64 oracle
+# (scripts/ab_knobs.py, round 3, on top of N_DEFECT=7/N_POLISH=2):
+# wfield median 1.89 -> 1.92% / max 10.55 -> 10.55%, chi2 median
+# 2.28 -> 2.30%, SAME NaN set, day wall 7.22 -> 6.91 s.
+# VITPU_ENDGAME_TAIL=full restores the old schedule.
 
 N_REFINE_DEFECT = int(os.environ.get("VITPU_NREFINE_DEFECT", "0"))
 # keep-solve refinement passes for DEFECT-LOOP evaluations (the endgame
@@ -425,7 +448,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
     # real day; polishing at the root recovers the all-ladder search's
     # placement).  The final solve reuses this anchor at delta ~ 0.
     r_cand = jnp.clip(_root_of(carry), ALPHA_MIN, 0.0)
-    anchor = anchor_at(r_cand)
+    anchor = anchor_at(r_cand, tail=ENDGAME_TAIL)
     carry = (carry[0], carry[1], r_cand, carry[3], carry[4])
     carry = round_body(carry, anchor, clip_to_trust=False)
 

@@ -987,6 +987,64 @@ def anchor_chi2_x(anchor, a_log, btWb_x, n_refine=2):
     return chi2
 
 
+def _cov_sandwich_x(Vx, w_hi, M_x, AtWA_x, s, keep_H, coupled=True):
+    """Overflow-safe f32 covariance dC = H AtWA H, H = pinv-cutoff inverse
+    of X = s (V M V') restricted to ``keep_H`` (reference semantics:
+    interpolate.py:465-466 with scipy.linalg.pinv's N*eps cutoff).
+
+    The naive normalized-units sandwich Minv G Minv forms intermediates
+    ~1/w^2 (up to 1e27 at the pinv cutoff) that OVERFLOW f32 after the
+    1/s unscale and amplify f32 matmul noise by the same factor —
+    measured on a production-order day (round 3): 49% of saved dC
+    diagonal entries NEGATIVE, magnitudes clamped at f32-max, and
+    Estimate(calcerr=True) NaN.  Fix: grade symmetrically by
+    y = 1/sqrt(|w|) (bounded by 1/sqrt(n eps) ~ 6e6), so with
+    B = V diag(y), Ms = diag(y) M diag(y) (unit |diagonal|),
+    Gs = diag(y) (V' AtWA/s V) diag(y):
+
+        dC = B [Ms^-1|keep Gs Ms^-1|keep] B' / s,
+
+    where every f32 matmul operand is O(1)-graded (Gs deep diagonal ~ 1)
+    or y-bounded, intermediates stay far inside f32 range, and the
+    middle projection G is computed EXACTLY (Ozaki) so its deep entries
+    (~n eps of scale) are signal, not f32 matmul noise.  Measured vs the
+    f64 oracle (scripts/probe_dc.py): diagonal and predicted field
+    variance relative error at the f32 representation floor.
+
+    ``coupled``: invert the kept BLOCK of M (anchor bases are not
+    eigenbases — Galerkin, same as _keep_solve_x); False uses the
+    diagonal inverse (true eigenbasis path).  f64 (CPU) callers keep
+    their native formulas — this helper is the f32 path only."""
+    n = w_hi.shape[-1]
+    aw = jnp.abs(w_hi)
+    tiny = jnp.finfo(w_hi.dtype).tiny
+    y = jnp.where(keep_H, 1.0 / jnp.sqrt(jnp.maximum(aw, tiny)), 0.0)
+    V = exp_hi(Vx)
+    # FULL chunk budget (maxpq=8) here, not the ladder budgets: Gs
+    # divides G by w down to the keep_H floor (n eps ~ 1e-14 of scale),
+    # so the first DROPPED chunk diagonal sets the relative leak there —
+    # measured ~2^-55 absolute at maxpq=6 -> 2e-4 relative on the
+    # deepest kept diagonal (tests/test_cov.py receipts); maxpq=8 puts
+    # the floor at ~2^-71.  Two products once per record: cheap.
+    AtWA_nx = exp_scale_pow2(AtWA_x, 1.0 / s)
+    T_x = ozaki_mm(AtWA_nx, Vx, nwords=2)
+    G_x = ozaki_mm(_vxT(Vx), T_x, nwords=1)
+    Gs = exp_hi(G_x) * y[..., :, None] * y[..., None, :]
+    if coupled:
+        Ms = exp_hi(M_x) * y[..., :, None] * y[..., None, :]
+        eyeM = jnp.eye(n, dtype=Ms.dtype)
+        kmH = keep_H[..., None, :] & keep_H[..., :, None]
+        Msi = jnp.linalg.inv(jnp.where(kmH, Ms, eyeM))
+        Msi = jnp.where(kmH, Msi, 0.0)
+        Hs = Msi @ Gs @ Msi
+    else:
+        sgn = jnp.where(keep_H, jnp.sign(w_hi), 0.0)
+        Hs = (sgn[..., :, None] * Gs) * sgn[..., None, :]
+    B = V * y[..., None, :]
+    dC_n = B @ Hs @ jnp.swapaxes(B, -1, -2)
+    return mul_pow2i(dC_n, -_pow2_exp_i(s))
+
+
 def final_solve_anchor_x(anchor, a_log, AtWA_x, AtWb_x, btWb_x):
     """Coefficients, covariance and chi^2 at alpha = 10^a_log from the
     anchor (single-regularizer fast path of final_solve_x: same dual
@@ -1013,25 +1071,26 @@ def final_solve_anchor_x(anchor, a_log, AtWA_x, AtWb_x, btWb_x):
     C_raw = exp_hi(ozaki_mm(Vx, tuple(z[..., None] for z in z_x),
                             nwords=1))[..., 0]
     C = C_raw / s if is64 else mul_pow2i(C_raw, -j)
-    # covariance: f32-grade by contract (see final_solve_x) — but
-    # COUPLING-AWARE: the anchor basis is not an eigenbasis of X(root),
-    # so H must invert the kept BLOCK of M, not its diagonal (Galerkin:
-    # basis-invariant on the kept subspace; a diagonal inverse leaves
-    # ~0.5% basis-drift noise in predicted field variances, measured)
-    V = exp_hi(Vx)
-    Mh = exp_hi(M_x)
-    nI = jnp.eye(n, dtype=Mh.dtype)
-    kmH = keep_H[..., None, :] & keep_H[..., :, None]
-    Minv = jnp.linalg.inv(jnp.where(kmH, Mh, nI))
-    Minv = jnp.where(kmH, Minv, 0.0)
-    VA = V.T if V.ndim == 2 else jnp.swapaxes(V, -1, -2)
-    # AtWA in NORMALIZED units (raw/s**2 underflows f32 — _pow2_exp_i)
-    AtWA_n = (exp_hi(AtWA_x) / s if is64
-              else mul_pow2i(exp_hi(AtWA_x), -j))
-    G = (VA @ AtWA_n) @ V
-    Hmid = Minv @ G @ Minv
-    dC = (V @ Hmid @ VA) / s if is64 \
-        else mul_pow2i(V @ Hmid @ VA, -j)
+    # covariance — COUPLING-AWARE: the anchor basis is not an eigenbasis
+    # of X(root), so H must invert the kept BLOCK of M, not its diagonal
+    # (Galerkin: basis-invariant on the kept subspace; a diagonal inverse
+    # leaves ~0.5% basis-drift noise in predicted field variances,
+    # measured).  The f32 path grades by 1/sqrt|w| (_cov_sandwich_x):
+    # the previous direct Minv G Minv sandwich overflowed f32 at
+    # production scales and shipped +-f32-max garbage diagonals.
+    if is64:
+        V = exp_hi(Vx)
+        Mh = exp_hi(M_x)
+        nI = jnp.eye(n, dtype=Mh.dtype)
+        kmH = keep_H[..., None, :] & keep_H[..., :, None]
+        Minv = jnp.linalg.inv(jnp.where(kmH, Mh, nI))
+        Minv = jnp.where(kmH, Minv, 0.0)
+        VA = V.T if V.ndim == 2 else jnp.swapaxes(V, -1, -2)
+        G = (VA @ (exp_hi(AtWA_x) / s)) @ V
+        dC = (V @ (Minv @ G @ Minv) @ VA) / s
+    else:
+        dC = _cov_sandwich_x(Vx, w_hi, M_x, AtWA_x, s, keep_H,
+                             coupled=True)
     # chi^2 = btWb - z'ub/s - alpha z'Pz/s^2 + alpha z'ut/s
     S_x = xprec.exp_dot(anchor["ub_x"], z_x, nwords=2)
     S_x = exp_scale_pow2(S_x, 1.0 / s)
@@ -1114,13 +1173,24 @@ def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params,
     C = exp_hi(ozaki_mm(Vx, tuple(z[..., None] for z in z_x),
                         nwords=1))[..., 0] / s
     V = exp_hi(Vx)
-    inv_w_H = jnp.where(keep_H, 1.0 / jnp.where(keep_H, w_hi, 1.0), 0.0)
-    # dC = H AtWA H with H = V diag(inv_w_H) V' / s: f32-grade per entry
-    # (covariance parity is data-determined; deep-mode noise documented)
-    VA = V.T @ exp_hi(AtWA_x)  # [n, n]
-    G = (VA @ V)               # V' AtWA V
-    Hmid = (inv_w_H[:, None] * G) * inv_w_H[None, :]
-    dC = (V @ Hmid @ V.T) / (s * s)
+    # dC = H AtWA H with H = V diag(1/w)|keep_H V' / s.  CPU/f64 keeps
+    # the direct form; the f32 path must grade by 1/sqrt|w|
+    # (_cov_sandwich_x): the direct form both OVERFLOWS (s*s underflows
+    # f32 outright at physical scales — s ~ 7e-21) and amplifies f32
+    # matmul noise by 1/w^2.  The anchor basis here comes from a ladder
+    # (true near-eigenbasis after the boot tail), but near-degenerate
+    # kept pairs still carry O(1) couplings — invert the kept block
+    # (coupled=True), same Galerkin argument as _keep_solve_x.
+    if _is_x64(AtWA_x):
+        inv_w_H = jnp.where(keep_H, 1.0 / jnp.where(keep_H, w_hi, 1.0),
+                            0.0)
+        VA = V.T @ exp_hi(AtWA_x)  # [n, n]
+        G = (VA @ V)               # V' AtWA V
+        Hmid = (inv_w_H[:, None] * G) * inv_w_H[None, :]
+        dC = (V @ Hmid @ V.T) / (s * s)
+    else:
+        dC = _cov_sandwich_x(Vx, w_hi, M_x, AtWA_x, s, keep_H,
+                             coupled=True)
     # chi^2 via the cancellation-free identity, expansion-grade through
     # the btWb - S cancellation: chi2 = btWb - z'u_b/s + sum_i alpha_i
     # tau_i'C - C'(sum alpha R)C, with u_b = V'AtWb (= u when no taus)
