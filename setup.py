@@ -18,6 +18,19 @@ setup(
     description=(
         "TPU-native tool for interpolating 3D scalar parameters from AMISR data"
     ),
+    long_description=open(os.path.join(here, "README.md"), encoding="utf-8").read(),
+    long_description_content_type="text/markdown",
+    license="MIT",
+    classifiers=[
+        "License :: OSI Approved :: MIT License",
+        "Programming Language :: Python :: 3",
+        "Programming Language :: Python :: 3.10",
+        "Programming Language :: Python :: 3.11",
+        "Programming Language :: Python :: 3.12",
+        "Intended Audience :: Science/Research",
+        "Topic :: Scientific/Engineering :: Atmospheric Science",
+        "Operating System :: OS Independent",
+    ],
     packages=find_packages(exclude=["tests", "tests.*"]),
     package_data={"volumetricinterp_tpu": ["example_config.ini"]},
     python_requires=">=3.10",
