@@ -43,6 +43,8 @@ fast paths (pencil whitening, grid evaluation) stay plain f32 by design.
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -251,20 +253,28 @@ def _make_chunks(exp, axis, nchunk):
 
     Every chunk value is an integer multiple of a power of two shared
     across the row/column, magnitude <= 2^WB, exactly representable in
-    bf16.  Extraction runs in exact multi-word f32 arithmetic."""
+    bf16.  Extraction runs in exact multi-word f32 arithmetic.
+
+    Returns (chunks [nchunk, ...] bf16 stacked on a new LEADING axis,
+    scale).  The extraction loop runs under lax.scan so its body is
+    traced/compiled ONCE regardless of nchunk — the per-ozaki_mm unrolled
+    cascades were the dominant term in the fit graph's 100k+-op bloat
+    (scripts/graph_size.py receipts; cold compiles were minutes)."""
     scale = _pow2_scale(jnp.max(jnp.abs(exp[0]), axis=axis, keepdims=True))
-    words = [w / scale for w in exp]  # exact power-of-two division
+    words = tuple(w / scale for w in exp)  # exact power-of-two division
     c = jnp.float32(2.0 ** WB)
-    chunks = []
-    for _ in range(nchunk):
+
+    def body(words, _):
         s = jnp.round(words[0] * c) / c
-        chunks.append((s * c).astype(jnp.bfloat16))
+        chunk = (s * c).astype(jnp.bfloat16)
         # exact residual update: words <- renorm(words - s), then shift;
         # full two_sums throughout (quick_two_sum's precondition breaks
         # once a word's bits are exhausted)
         r, e1 = two_sum(words[0], -s)
-        words = list(exp_renorm([r, e1] + words[1:], nwords=len(exp)))
-        words = [w * c for w in words]
+        nxt = exp_renorm([r, e1] + list(words[1:]), nwords=len(words))
+        return tuple(w * c for w in nxt), chunk
+
+    _, chunks = jax.lax.scan(body, words, None, length=nchunk)
     return chunks, scale
 
 
@@ -282,18 +292,29 @@ def ozaki_mm(a_exp, b_exp, maxpq=MAXPQ, nwords=3):
     chunk-product truncation floor, ~1e-24 of the operand scales at the
     defaults) — far below f64's 2^-52, so deep cancellation survives.
     Contraction lengths up to 2^(24 - 2*WB) = 256 are exact per chunk
-    product; longer contractions must use ozaki_mm_long."""
+    product; longer contractions must use ozaki_mm_long.
+
+    The f32 body is an inner ``jax.jit``: identical-shape call sites
+    share ONE traced instance via the jit trace cache instead of
+    re-tracing the chunk/cascade machinery per call site — together with
+    the scan-ified chunk loops this is what holds the fit graph's trace
+    time and serialized size down (scripts/graph_size.py receipts)."""
     if a_exp[0].dtype == jnp.float64:
         # CPU path: native f64 exists; the expansion is a single f64 word
         # and the exact-sliced machinery is unnecessary
         return (jnp.matmul(a_exp[0], b_exp[0]),)
+    return _ozaki_mm_f32(tuple(a_exp), tuple(b_exp), maxpq, nwords)
+
+
+@partial(jax.jit, static_argnames=("maxpq", "nwords"))
+def _ozaki_mm_f32(a_exp, b_exp, maxpq, nwords):
     # chunks beyond index maxpq can never appear in a kept term
     # (p + q <= maxpq with q, p >= 0), so don't extract them: each chunk
     # costs several elementwise passes over the full operand
     na = min(_nchunks_for(a_exp), maxpq + 1)
     nb = min(_nchunks_for(b_exp), maxpq + 1)
-    ac, sa = _make_chunks(a_exp, axis=-1, nchunk=na)
-    bc, sb = _make_chunks(b_exp, axis=-2, nchunk=nb)
+    ac, sa = _make_chunks(a_exp, axis=-1, nchunk=na)  # [na, .., m, n]
+    bc, sb = _make_chunks(b_exp, axis=-2, nchunk=nb)  # [nb, .., n, k]
     out_shape = jnp.broadcast_shapes(
         a_exp[0].shape[:-2], b_exp[0].shape[:-2]
     ) + (a_exp[0].shape[-2], b_exp[0].shape[-1])
@@ -308,12 +329,30 @@ def ozaki_mm(a_exp, b_exp, maxpq=MAXPQ, nwords=3):
     terms = [(p, q) for p in range(na) for q in range(nb)
              if p + q <= maxpq]
     terms.sort(key=lambda t: (t[0] + t[1], t[0]))
-    for (p, q) in terms:
-        part = jnp.matmul(ac[p], bc[q], preferred_element_type=jnp.float32)
-        part = part * jnp.float32(2.0 ** (-WB * (p + q + 2)))
+    # the term loop runs under lax.scan (ONE traced matmul + cascade body
+    # per call site instead of ~25): chunk indices and the exact pow2
+    # scales ride constant per-iteration arrays.  Accumulation order is
+    # bit-identical to the unrolled loop (same sorted terms, same two_sum
+    # cascade).
+    ps = jnp.asarray([p for p, _ in terms], jnp.int32)
+    qs = jnp.asarray([q for _, q in terms], jnp.int32)
+    scs = jnp.asarray([2.0 ** (-WB * (p + q + 2)) for p, q in terms],
+                      jnp.float32)
+
+    def body(carry, pqs):
+        acc_h, acc_m, acc_l = carry
+        p, q, sc = pqs
+        ap = jax.lax.dynamic_index_in_dim(ac, p, 0, keepdims=False)
+        bq = jax.lax.dynamic_index_in_dim(bc, q, 0, keepdims=False)
+        part = jnp.matmul(ap, bq, preferred_element_type=jnp.float32)
+        part = part * sc
         acc_h, e1 = two_sum(acc_h, part)
         acc_m, e2 = two_sum(acc_m, e1)
         acc_l = acc_l + e2
+        return (acc_h, acc_m, acc_l), None
+
+    (acc_h, acc_m, acc_l), _ = jax.lax.scan(
+        body, (acc_h, acc_m, acc_l), (ps, qs, scs))
     s = sa * sb  # [.., m, 1] * [.., 1, k]: exact powers of two
     out = exp_renorm([acc_h, acc_m, acc_l], nwords=nwords)
     return exp_scale_pow2(out, s)
@@ -322,15 +361,43 @@ def ozaki_mm(a_exp, b_exp, maxpq=MAXPQ, nwords=3):
 def ozaki_mm_long(a_exp, b_exp, block=256, maxpq=MAXPQ, nwords=3):
     """ozaki_mm for contraction lengths beyond the exactness bound 256:
     the contraction axis is cut into blocks whose partial results are
-    combined with expansion adds (error ~ nblocks * 2^-72)."""
+    combined with expansion adds (error ~ nblocks * 2^-72).
+
+    The block loop runs under lax.scan (one traced ozaki_mm body per call
+    site instead of ceil(n/block)); the contraction axis is zero-padded to
+    a block multiple, which is exact — zero columns contribute exact-zero
+    chunk products and do not move the per-row/column pow2 scales."""
     n = a_exp[0].shape[-1]
-    if n <= block:
+    if n <= block or a_exp[0].dtype == jnp.float64:
         return ozaki_mm(a_exp, b_exp, maxpq=maxpq, nwords=nwords)
-    out = None
-    for s0 in range(0, n, block):
-        e0 = min(s0 + block, n)
-        ap = tuple(w[..., :, s0:e0] for w in a_exp)
-        bp = tuple(w[..., s0:e0, :] for w in b_exp)
+    nblk = -(-n // block)
+    pad = nblk * block - n
+
+    def blocks_of(exp, axis):
+        out = []
+        for w in exp:
+            if pad:
+                cfg = [(0, 0)] * w.ndim
+                cfg[axis] = (0, pad)
+                w = jnp.pad(w, cfg)
+            # [.., nblk * block along axis] -> [nblk, .., block along axis]
+            shape = w.shape[:axis % w.ndim] + (nblk, block) \
+                + w.shape[axis % w.ndim + 1:]
+            w = w.reshape(shape)
+            out.append(jnp.moveaxis(w, axis % w.ndim, 0))
+        return tuple(out)
+
+    a_blk = blocks_of(a_exp, a_exp[0].ndim - 1)  # [nblk, .., m, block]
+    b_blk = blocks_of(b_exp, b_exp[0].ndim - 2)  # [nblk, .., block, k]
+
+    def body(out, ab):
+        ap, bp = ab
         part = ozaki_mm(ap, bp, maxpq=maxpq, nwords=nwords)
-        out = part if out is None else exp_add(out, part, nwords=nwords)
+        return exp_add(out, part, nwords=nwords), None
+
+    zero = tuple(jnp.zeros(
+        jnp.broadcast_shapes(a_exp[0].shape[:-2], b_exp[0].shape[:-2])
+        + (a_exp[0].shape[-2], b_exp[0].shape[-1]), jnp.float32)
+        for _ in range(nwords))
+    out, _ = jax.lax.scan(body, zero, (a_blk, b_blk))
     return out
