@@ -3,12 +3,16 @@ reference estimate.py:13-221).
 
 TPU-first differences:
 * the per-point qhull-rebuild hull check (estimate.py:153-178, "horribly
-  inefficient") becomes one host qhull build + a jittable half-space matmul
+  inefficient") becomes one host qhull build + a half-space matmul
   (utils/hull.py);
 * calcgrad/calcerr are implemented for real (the reference accepts the
   flags but its evaluation paths are commented out, estimate.py:125-147);
-* dense-grid evaluation can run through the fused float32 Pallas kernel
-  (grid_eval method / ops/grid_eval.py) at >1e9 points/s/chip.
+* `__call__` (the point API) runs entirely on HOST numpy in true float64
+  on every backend — this TPU has no real f64 (device "f64" is f32-grade,
+  ops/xprec.py receipts; envelope measured in scripts/precision_probe.py),
+  and eager device ops through the tunnel cost a remote compile each;
+* dense-grid evaluation runs through the fused float32 Pallas kernel
+  (grid_eval / evaluate_records, ops/grid_eval.py) at >1e9 points/s/chip.
 """
 
 from __future__ import annotations
@@ -21,7 +25,8 @@ import jax.numpy as jnp
 from .config import Config
 from . import models
 from .io.coeffs import load_coeff_file
-from .utils.hull import check_hull as hull_mask
+from .utils.hull import check_hull as hull_mask  # noqa: F401 (device path)
+from .utils.hull import np_check_hull as np_hull_mask
 from .utils.hull import hull_equations
 
 
@@ -75,40 +80,47 @@ class Estimate:
             P, dP, err, graderr     (both)
         """
         C, dC = self.get_C(time)
+        C = np.asarray(C, np.float64)
 
-        gdlat = jnp.asarray(gdlat, dtype=jnp.float64)
-        A = self.model.basis(gdlat, gdlon, gdalt)
-        parameter = jnp.einsum("...i,i->...", A, jnp.asarray(C))
+        # Entirely HOST float64: the design matrix, einsums and hull mask
+        # run in numpy.  On this TPU, device "f64" arithmetic is f32-grade
+        # (ops/xprec.py receipts) and every eager op through the tunnel is
+        # a remote compile — the host path is both the exact one and the
+        # fast one for point queries.  Dense grids go through grid_eval /
+        # evaluate_records (device fast paths).
+        A = np.asarray(self.model.basis(gdlat, gdlon, gdalt), np.float64)
+        parameter = A @ C
 
         if check_hull:
-            inside = hull_mask(self._hull_eqs, gdlat, gdlon, gdalt)
-            parameter = jnp.where(inside, parameter, jnp.nan)
+            inside = np_hull_mask(self._hull_eqs, gdlat, gdlon, gdalt)
+            parameter = np.where(inside, parameter, np.nan)
 
         outs = [parameter]
         if calcgrad:
-            G = self.model.grad_basis(gdlat, gdlon, gdalt)  # [..., 3, nbasis]
-            dP = jnp.einsum("...ci,i->...c", G, jnp.asarray(C))
+            G = np.asarray(
+                self.model.grad_basis(gdlat, gdlon, gdalt), np.float64
+            )  # [..., 3, nbasis]
+            dP = G @ C
             if check_hull:
-                dP = jnp.where(inside[..., None], dP, jnp.nan)
+                dP = np.where(inside[..., None], dP, np.nan)
             outs.append(dP)
         if calcerr:
-            err = jnp.sqrt(
-                jnp.einsum("...i,ij,...j->...", A, jnp.asarray(dC), A)
-            )
+            dC = np.asarray(dC, np.float64)
+            err = np.sqrt(np.einsum("...i,ij,...j->...", A, dC, A))
             if check_hull:
-                err = jnp.where(inside, err, jnp.nan)
+                err = np.where(inside, err, np.nan)
             outs.append(err)
             if calcgrad:
-                graderr = jnp.sqrt(
-                    jnp.einsum("...ci,ij,...cj->...c", G, jnp.asarray(dC), G)
+                graderr = np.sqrt(
+                    np.einsum("...ci,ij,...cj->...c", G, dC, G)
                 )
                 if check_hull:
-                    graderr = jnp.where(inside[..., None], graderr, jnp.nan)
+                    graderr = np.where(inside[..., None], graderr, np.nan)
                 outs.append(graderr)
 
         if len(outs) == 1:
-            return np.asarray(outs[0])
-        return tuple(np.asarray(o) for o in outs)
+            return outs[0]
+        return tuple(outs)
 
     def check_hull(self, lat0, lon0, alt0):
         """Inside-FoV mask (reference estimate.py:153-178 semantics via the
@@ -209,22 +221,61 @@ class Estimate:
         fused evaluator and compiled kernel are shared across records; the
         hull mask is computed once.
         """
+        from . import coords as _coords
+        from .ops.grid_eval import make_grid_evaluator
+
         times = list(times)
         inside = None
         if check_hull:
-            inside = np.asarray(hull_mask(self._hull_eqs, gdlat, gdlon, gdalt))
+            # HOST half-space mask: exact f64 semantics with zero device
+            # traffic (the f64 coordinate upload at config-4 scale is
+            # ~800 MB/call through the tunnel)
+            inside = np_hull_mask(self._hull_eqs, gdlat, gdlon, gdalt)
 
-        # prime/reuse the cached evaluator through a first-grid call
-        self.grid_eval(times[0], gdlat, gdlon, gdalt, check_hull=False,
-                       impl=impl)
-        ev = self._grid_ev
-        Cs = np.stack([np.asarray(self.get_C(t)[0]) for t in times])
-        if hasattr(ev, "eval_records"):
-            out = np.asarray(ev.eval_records(Cs, gdlat, gdlon, gdalt))
-        else:  # RBF evaluator: per-record calls (a single matmul each)
-            out = np.stack(
-                [np.asarray(ev(C, gdlat, gdlon, gdalt)) for C in Cs]
+        # evaluator cache, same band policy as grid_eval (inlined so the
+        # setup does not pay a redundant full evaluation of record 0)
+        if hasattr(self.model, "tables"):  # band-limited (sphharmlag)
+            _, t, _ = _coords.np_geodetic_to_cap(
+                np.asarray(gdlat, np.float64).ravel(),
+                np.asarray(gdlon).ravel(), np.asarray(gdalt).ravel(),
+                self.model.latcp, self.model.loncp,
             )
+            lo, hi = float(t.min()), float(t.max())
+        else:  # RBF models have no colatitude band
+            lo, hi = 0.0, float(np.pi)
+        ev = getattr(self, "_grid_ev", None)
+        if ev is None or ev.impl_requested != impl or not (
+            ev.theta_lo <= lo and hi <= ev.theta_hi
+        ):
+            if hasattr(self.model, "ensure_theta_domain"):
+                self.model.ensure_theta_domain(hi)
+            ev = make_grid_evaluator(self.model, (lo, hi), impl=impl)
+            ev.impl_requested = impl
+            self._grid_ev = ev
+        Cs = np.stack([np.asarray(self.get_C(t)[0]) for t in times])
+        # upload the shared grid ONCE (device-resident across chunks —
+        # at BASELINE config-4 scale the f64 coordinates are ~800 MB of
+        # host->device traffic per call otherwise), and chunk records so
+        # the [chunk, npoints] f32 output block stays ~<=1 GB of HBM
+        # (config 4 is 33.5M points/record x a day of records: stacking
+        # every record in one dispatch would exhaust device memory)
+        shape = np.shape(gdlat)
+        npts = int(np.prod(shape)) if shape else 1
+        lat_d = jnp.asarray(np.ravel(gdlat), dtype=ev.dtype)
+        lon_d = jnp.asarray(np.ravel(gdlon), dtype=ev.dtype)
+        alt_d = jnp.asarray(np.ravel(gdalt), dtype=ev.dtype)
+        chunk = max(1, int(2 ** 28 // max(1, npts)))
+        blocks = []
+        for s in range(0, len(Cs), chunk):
+            Cb = Cs[s:s + chunk]
+            if hasattr(ev, "eval_records"):
+                blk = np.asarray(ev.eval_records(Cb, lat_d, lon_d, alt_d))
+            else:  # RBF evaluator: per-record calls (a single matmul each)
+                blk = np.stack(
+                    [np.asarray(ev(C, lat_d, lon_d, alt_d)) for C in Cb]
+                )
+            blocks.append(blk.reshape((len(Cb),) + shape))
+        out = np.concatenate(blocks, axis=0)
         if inside is not None:
             out = np.where(inside[None], out, np.nan)
         return out

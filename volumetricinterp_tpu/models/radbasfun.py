@@ -43,7 +43,8 @@ class Model:
             np.linspace(self.altrange[0], self.altrange[1], self.numgridpnt) * 1000.0,
         )
         X, Y, Z = coords.np_geodetic2ecef(lat.flatten(), lon.flatten(), alt.flatten())
-        self.centers = jnp.asarray(np.stack([X, Y, Z], axis=-1))  # [nbasis, 3]
+        self._centers_np = np.stack([X, Y, Z], axis=-1)  # [nbasis, 3] host f64
+        self.centers = jnp.asarray(self._centers_np)  # [nbasis, 3]
         self.nbasis = self.centers.shape[0]
 
         self.eval_reg_matricies = {}
@@ -66,13 +67,14 @@ class Model:
 
     def _ecef_for(self, gdlat, gdlon, gdalt):
         """ECEF points [npts, 3]; host float64 transform when eager (exact
-        trig — see coords.py), device transform when traced."""
+        trig — see coords.py; returned as numpy), device transform when
+        traced."""
         try:
             lat = np.asarray(gdlat, dtype=np.float64).ravel()
             lon = np.asarray(gdlon, dtype=np.float64).ravel()
             alt = np.asarray(gdalt, dtype=np.float64).ravel()
             x, y, z = coords.np_geodetic2ecef(lat, lon, alt)
-            return jnp.asarray(np.stack([x, y, z], axis=-1))
+            return np.stack([x, y, z], axis=-1)
         except Exception:
             x, y, z = coords.geodetic2ecef(
                 jnp.asarray(gdlat).ravel(),
@@ -81,10 +83,27 @@ class Model:
             )
             return jnp.stack([x, y, z], axis=-1)
 
+    def _design_np(self, R):
+        """HOST float64 design matrix (concrete points) — same expression
+        as design_from_ecef in true f64; this TPU's device "f64" is
+        f32-grade (ops/xprec.py receipts)."""
+        c = self._centers_np
+        d2 = np.maximum(
+            np.sum(R * R, axis=-1, keepdims=True)
+            - 2.0 * (R @ c.T)
+            + np.sum(c * c, axis=-1)[None, :],
+            0.0,
+        )
+        return np.exp(-d2 / self.eps**2)
+
     def basis(self, gdlat, gdlon, gdalt):
-        """A[..., nbasis] at geodetic points (reference radbasfun.py:83-112)."""
+        """A[..., nbasis] at geodetic points (reference radbasfun.py:83-112).
+        Concrete inputs evaluate on HOST in exact float64 (numpy result);
+        traced inputs use the on-device MXU matmul form."""
         shape = np.shape(gdlat)
         R = self._ecef_for(gdlat, gdlon, gdalt)
+        if isinstance(R, np.ndarray):
+            return self._design_np(R).reshape(shape + (self.nbasis,))
         A = self.design_from_ecef(R)
         return A.reshape(shape + (self.nbasis,))
 
@@ -93,9 +112,15 @@ class Model:
 
         grad_n = -2 (R - c_n) / eps^2 * basis_n.  (The reference's version
         is commented out, radbasfun.py:115-152; implemented for real here.)
+        Concrete inputs evaluate on HOST in exact float64 (see basis).
         """
         shape = np.shape(gdlat)
         R = self._ecef_for(gdlat, gdlon, gdalt)  # [pts, 3]
+        if isinstance(R, np.ndarray):
+            A = self._design_np(R)
+            diff = R[:, :, None] - self._centers_np.T[None, :, :]
+            G = -2.0 / self.eps**2 * diff * A[:, None, :]
+            return G.reshape(shape + (3, self.nbasis))
         A = self.design_from_ecef(R)  # [pts, nb]
         diff = R[:, :, None] - self.centers.T[None, :, :]  # [pts, 3, nb]
         G = -2.0 / self.eps**2 * diff * A[:, None, :]

@@ -262,9 +262,10 @@ class Model:
 
     def _coords_for(self, gdlat, gdlon, gdalt):
         """(z, t, p) flat arrays.  Concrete (eager) inputs transform on HOST
-        in exact float64 — TPU f64 trig is only f32-accurate and would
-        contaminate theta by ~3e-8 rad (~nu*3e-8 relative in P_nu).  Traced
-        inputs fall back to the on-device transform."""
+        in exact float64 (returned as numpy) — TPU f64 trig is only
+        f32-accurate and would contaminate theta by ~3e-8 rad (~nu*3e-8
+        relative in P_nu).  Traced inputs fall back to the on-device
+        transform."""
         try:
             lat = np.asarray(gdlat, dtype=np.float64).ravel()
             lon = np.asarray(gdlon, dtype=np.float64).ravel()
@@ -279,16 +280,100 @@ class Model:
         tmax = float(np.max(t)) if t.size else 0.0
         if np.isfinite(tmax):
             self.ensure_theta_domain(tmax)
-        return jnp.asarray(z), jnp.asarray(t), jnp.asarray(p)
+        return z, t, p
+
+    def _design_np(self, z, t, p):
+        """HOST float64 design matrix at concrete cap coordinates.
+
+        Value-identical recurrences to _design_core, run in true f64: on
+        this TPU, device "f64" elementwise arithmetic rounds at f32
+        (ops/xprec.py receipts; isolated envelope measured in
+        scripts/precision_probe.py), so concrete-input basis evaluation —
+        the fit's design matrix and Estimate's point API — stays on host."""
+        from ..tables import np_cheb_clenshaw
+
+        tbl = self.tables
+        u = 2.0 * t / tbl.theta_max - 1.0
+        P = np_cheb_clenshaw(u, tbl.coef_np)
+        Pn = P[:, self._d_col_0] * self._d_negm[None, :]
+
+        lag = special.np_laguerre_all(self.maxk - 1, z)
+        radial = np.exp(-0.5 * z)[:, None] * lag
+
+        mb = np.arange(self.maxl, dtype=np.float64)
+        cosm = np.cos(p[:, None] * mb[None, :])
+        sinm = np.sin(p[:, None] * mb[None, :])
+        trig = (
+            cosm[:, self._d_mbar] * self._d_is_cos[None, :]
+            + sinm[:, self._d_mbar] * (1.0 - self._d_is_cos)[None, :]
+        )
+        return radial[:, self._d_k] * (self._d_kvm[None, :] * trig) * Pn
+
+    def _grad_np(self, z, t, p):
+        """HOST float64 mirror of _grad_core (see _design_np)."""
+        from ..tables import np_cheb_clenshaw
+
+        x = np.cos(t)
+        y = np.sin(t)
+        e = np.exp(-0.5 * z)
+
+        tbl = self.tables
+        u = 2.0 * t / tbl.theta_max - 1.0
+        P = np_cheb_clenshaw(u, tbl.coef_np)
+        Pmv = P[:, self._d_col_0] * self._d_negm[None, :]
+        Pmv1 = P[:, self._d_col_p1] * self._d_negm_p1[None, :]
+
+        lag0 = special.np_laguerre_all(self.maxk - 1, z)
+        lag1_tbl = special.np_laguerre_all(max(self.maxk - 2, 0), z, alpha=1.0)
+        zero = np.zeros_like(z)[:, None]
+        lag1_full = np.concatenate([zero, lag1_tbl], axis=-1)
+        L0 = lag0[:, self._d_k]
+        L1 = lag1_full[:, self._d_k]
+
+        mb = np.arange(self.maxl, dtype=np.float64)
+        cosm = np.cos(p[:, None] * mb[None, :])
+        sinm = np.sin(p[:, None] * mb[None, :])
+        trig = (
+            cosm[:, self._d_mbar] * self._d_is_cos[None, :]
+            + sinm[:, self._d_mbar] * (1.0 - self._d_is_cos)[None, :]
+        )
+        dtrig = (
+            -self._d_m[None, :] * sinm[:, self._d_mbar] * self._d_is_cos[None, :]
+            + self._d_mbar.astype(np.float64)[None, :]
+            * cosm[:, self._d_mbar]
+            * (1.0 - self._d_is_cos)[None, :]
+        )
+        A_az = self._d_kvm[None, :] * trig
+        dA_az = self._d_kvm[None, :] * dtrig
+
+        v = self._d_nu[None, :]
+        msgn = self._d_m[None, :]
+        denom = (y * (z / 100.0 + 1.0) * RE)[:, None]
+
+        zhat = -0.5 * e[:, None] * (L0 + 2.0 * L1) * Pmv * A_az * 100.0 / RE
+        that = (
+            e[:, None]
+            * L0
+            * (-(v + 1.0) * x[:, None] * Pmv + (v - msgn + 1.0) * Pmv1)
+            * A_az
+            / denom
+        )
+        phat = e[:, None] * L0 * Pmv * dA_az / denom
+        return np.stack([zhat, that, phat], axis=-2)  # [pts, 3, nbasis]
 
     def basis(self, gdlat, gdlon, gdalt):
         """A[..., nbasis] at geodetic points (reference sphharmlag.py:118-145).
 
         Shape-preserving over arbitrary input dimensionality, like the
-        reference's reshape/transpose dance at :142-145.
+        reference's reshape/transpose dance at :142-145.  Concrete inputs
+        evaluate on HOST in exact float64 (numpy result; reference-grade
+        fidelity regardless of backend — estimate.py:113-115 semantics);
+        traced inputs use the on-device table path.
         """
         shape = np.shape(gdlat)
         z, t, p = self._coords_for(gdlat, gdlon, gdalt)
+        if isinstance(z, np.ndarray) and self.config.tpu.basis_impl != "series":
+            return self._design_np(z, t, p).reshape(shape + (self.nbasis,))
         A = self._design_jit(z, t, p, jnp.asarray(self.tables.coef_np),
                              self.tables.theta_max)
         return A.reshape(shape + (self.nbasis,))
@@ -300,9 +385,12 @@ class Model:
         phi-hat) in cap coordinates — matching np.array(Ag).T for 1-D input.
         The reference's stale commented-out evaluation path (estimate.py:
         125-147) is implemented for real in Estimate via these gradients.
+        Concrete inputs evaluate on HOST in exact float64 (see basis).
         """
         shape = np.shape(gdlat)
         z, t, p = self._coords_for(gdlat, gdlon, gdalt)
+        if isinstance(z, np.ndarray) and self.config.tpu.basis_impl != "series":
+            return self._grad_np(z, t, p).reshape(shape + (3, self.nbasis))
         G = self._grad_jit(z, t, p, jnp.asarray(self.tables.coef_np),
                            self.tables.theta_max)
         return G.reshape(shape + (3, self.nbasis))
@@ -566,12 +654,17 @@ class Model:
             it = np.einsum("q,iq,jq->ij", wq / np.sin(tq) ** 3, vals, vals)
         return it
 
-    def _assemble(self, iz: np.ndarray, ih: np.ndarray) -> jnp.ndarray:
-        """Omega/Psi[n, n'] = Iz[k, k'] * Ih[j, j'] via outer gathers."""
+    def _assemble(self, iz: np.ndarray, ih: np.ndarray) -> np.ndarray:
+        """Omega/Psi[n, n'] = Iz[k, k'] * Ih[j, j'] via outer gathers.
+
+        Returns HOST numpy: every consumer either splits the matrix into
+        host expansions (the fit) or jnp.asarray's it inside jit — an
+        eager device put here costs a pointless tunnel round trip (and a
+        recovering remote worker once turned it into a 700 s stall,
+        measured in a round-4 verify drive)."""
         k = self._k
         j = self._l * (self._l + 1) + self._m
-        M = iz[np.ix_(k, k)] * ih[np.ix_(j, j)]
-        return jnp.asarray(M)
+        return iz[np.ix_(k, k)] * ih[np.ix_(j, j)]
 
     def eval_omega(self):
         """Curvature regularization matrix (reference sphharmlag.py:188-212)."""

@@ -59,6 +59,22 @@ def laguerre_all(kmax: int, z, alpha: float = 0.0):
     return jnp.stack(out, axis=-1)
 
 
+def np_laguerre_all(kmax: int, z, alpha: float = 0.0):
+    """HOST float64 mirror of laguerre_all (same forward recurrence).
+
+    The TPU backend has no real f64 (ops/xprec.py receipts), so the exact
+    design-matrix path (models/*.basis on concrete inputs) evaluates on
+    host numpy; this is its radial part."""
+    z = np.asarray(z, np.float64)
+    out = [np.ones_like(z)]
+    if kmax >= 1:
+        out.append(1.0 + alpha - z)
+    for k in range(1, kmax):
+        out.append(((2 * k + 1 + alpha - z) * out[k]
+                    - (k + alpha) * out[k - 1]) / (k + 1.0))
+    return np.stack(out, axis=-1)
+
+
 def eval_laguerre(k: int, z, alpha: float = 0.0):
     """Single generalized Laguerre polynomial L_k^alpha(z) (k static)."""
     if k < 0:

@@ -50,11 +50,31 @@ def cheb_fit(values: np.ndarray) -> np.ndarray:
     return c
 
 
+def np_cheb_clenshaw(u, coef):
+    """HOST float64 Clenshaw: sum_k coef[k, :] T_k(u), u.shape + (ncols,).
+
+    The exact-f64 table path on a TPU-attached process: device "f64" is
+    f32-grade there (ops/xprec.py receipts), so the design matrix for
+    concrete points is evaluated on host numpy (models/sphharmlag.basis).
+    """
+    u = np.clip(np.asarray(u, np.float64), -1.0, 1.0)
+    coef = np.asarray(coef, np.float64)
+    two_u = (2.0 * u)[..., None]
+    b1 = np.zeros(u.shape + (coef.shape[1],))
+    b2 = np.zeros_like(b1)
+    for k in range(coef.shape[0] - 1, 0, -1):
+        b1, b2 = two_u * b1 - b2 + coef[k], b1
+    return u[..., None] * b1 - b2 + coef[0]
+
+
 def cheb_clenshaw(u: jnp.ndarray, coef: jnp.ndarray) -> jnp.ndarray:
     """sum_k coef[k, :] T_k(u) via Clenshaw, shape u.shape + (ncols,).
 
-    Polynomial adds/muls only — exact float64 even on TPU (where f64 trig is
-    f32-accurate, see coords.py).  The k-loop is a lax.fori_loop, so trace
+    Polynomial adds/muls only — exact in the array dtype's arithmetic.  On
+    CPU that is true float64; on THIS TPU every elementwise "f64" op rounds
+    at f32 (~8e-8, ops/xprec.py receipts), so accuracy-critical concrete
+    evaluation goes through np_cheb_clenshaw on host instead
+    (models/sphharmlag.basis).  The k-loop is a lax.fori_loop, so trace
     size is independent of the degree.
     """
     from jax import lax

@@ -61,6 +61,24 @@ def check_hull(hull_eqs, gdlat, gdlon, gdalt, tol=1e-8):
     return inside.reshape(shape)
 
 
+def np_check_hull(hull_eqs, gdlat, gdlon, gdalt, tol=1e-8):
+    """HOST numpy mirror of check_hull (same half-space test, exact f64
+    WGS-84 transform) — used by Estimate's float64 point API so a single
+    hull mask costs no device round trip."""
+    gdlat = np.asarray(gdlat)
+    shape = gdlat.shape
+    x, y, z = coords.np_geodetic2ecef(
+        gdlat.ravel().astype(np.float64),
+        np.asarray(gdlon, np.float64).ravel(),
+        np.asarray(gdalt, np.float64).ravel(),
+    )
+    P = np.stack([x, y, z], axis=-1)
+    eqs = np.asarray(hull_eqs)
+    d = P @ eqs[:, :3].T + eqs[None, :, 3]
+    inside = np.max(d, axis=-1) <= tol * np.max(np.abs(eqs[:, 3]))
+    return inside.reshape(shape)
+
+
 def check_hull_reference(hull_vert, gdlat, gdlon, gdalt):
     """Host-side replica of the reference's per-point vertex-set comparison
     (estimate.py:153-178) — the parity oracle for check_hull()."""
