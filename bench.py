@@ -187,6 +187,31 @@ QUAD_MODE = gauss
         e2e_failed_vs_oracle = int(
             (np.isnan(interp.chi_sq) & ~onan).sum())
 
+    # ---- keogram/volume product at BASELINE config-4 scale ---------------
+    # (512 x 512 x 128 = 33.5M points per record, evaluated for a block of
+    # records through Estimate.evaluate_records: includes get_C, hull mask,
+    # coefficient fold/upload and the host materialization of the product)
+    import datetime as _dt
+
+    from volumetricinterp_tpu import Estimate
+
+    est = Estimate(out_h5)
+    mt = np.mean(est.time, axis=1)
+    keo_times = [_dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=float(s))
+                 for s in mt[:8]]
+    klat, klon, kalt = np.meshgrid(
+        np.linspace(74.0, 82.0, 512),
+        np.linspace(252.0, 272.0, 512),
+        np.linspace(1.0e5, 6.0e5, 128),
+    )
+    n_keo = klat.size * len(keo_times)
+    est.evaluate_records(keo_times, klat, klon, kalt)  # compile + warm
+    t0 = time.perf_counter()
+    keo = est.evaluate_records(keo_times, klat, klon, kalt)
+    keogram_pts_per_s = n_keo / (time.perf_counter() - t0)
+    keo_finite = float(np.isfinite(keo).mean())
+    del keo
+
     target_pts = 1.0e9
     print(json.dumps({
         "metric": "grid-evaluation points/s/chip (lmax=6, nbasis=144, f32 fused)",
@@ -206,6 +231,8 @@ QUAD_MODE = gauss
             "e2e_failed": e2e_failed,
             "e2e_failed_vs_oracle": e2e_failed_vs_oracle,
             "fit_batch": [nrec, npts],
+            "keogram_pts_per_s": round(keogram_pts_per_s, 1),
+            "keogram_finite_frac": round(keo_finite, 4),
             "eval_impl": ev.impl,
             "cheb_degree_eval": ev.degree,
         },
