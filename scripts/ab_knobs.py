@@ -19,6 +19,11 @@ CONFIGS = [
     ("d7p2", {"VITPU_NDEFECT": "7", "VITPU_NPOLISH": "2"}),
     ("d7p2_mid", {"VITPU_NDEFECT": "7", "VITPU_NPOLISH": "2",
                   "VITPU_ENDGAME_TAIL": "mid"}),
+    # per-product Ozaki chunk budgets (VERDICT r3 item 5: the named ~15%
+    # of MXU work): shave the M-product and basis-product budgets one
+    # chunk each below the shipped 6/5
+    ("mp5", {"VITPU_LADDER_MAXPQ": "5"}),
+    ("mp5v4", {"VITPU_LADDER_MAXPQ": "5", "VITPU_LADDER_MAXPQ_V": "4"}),
     # the shipped round-3 combo (N_DEFECT stays 9: the 7-round trim
     # passed the TPU-vs-oracle A/B but degraded the CPU/f64 oracle path
     # itself on a curvature-regularized record — see regparam.N_DEFECT)

@@ -63,7 +63,8 @@ reg_mats = psi[None]
 t0 = time.time()
 C, dC, chi2, rp = fit_records(values, errors, A, reg_mats, method="chi2",
                               regparam_mode="exact")
-dC = np.asarray(dC, np.float64)
+from volumetricinterp_tpu.ops.fit import cov_to_f64
+dC = cov_to_f64(dC)
 print(f"TPU fit done in {time.time()-t0:.1f}s backend={jax.default_backend()}",
       flush=True)
 

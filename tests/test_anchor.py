@@ -59,7 +59,10 @@ def test_anchor_matches_ladder_f64():
         np.testing.assert_allclose(float(chi2), float(chi22), rtol=1e-10)
         np.testing.assert_allclose(np.asarray(C), np.asarray(C2),
                                    rtol=0, atol=1e-12 * np.abs(C2).max())
-        np.testing.assert_allclose(np.asarray(dC), np.asarray(dC2),
+        from volumetricinterp_tpu.ops.fit import cov_to_f64
+
+        dC, dC2 = cov_to_f64(dC), cov_to_f64(dC2)
+        np.testing.assert_allclose(dC, dC2,
                                    rtol=0, atol=1e-10 * np.abs(dC2).max())
 
 

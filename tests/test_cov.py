@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import pytest
 
 from volumetricinterp_tpu.ops import solve, xprec
+from volumetricinterp_tpu.ops.fit import cov_to_f64
 
 
 def _graded_system(n=48, decades=20, seed=0, s_exp=-67):
@@ -42,11 +43,10 @@ def test_cov_sandwich_matches_f64_closed_form(s_exp):
     AtWA_x = tuple(map(jnp.asarray, xprec.split_f64_host(X_raw, 3)))
     w_hi = jnp.asarray(w, jnp.float32)
     keep_H = np.abs(w) > n * solve.EPS64 * np.max(np.abs(w))
-    dC = np.asarray(
+    dC = cov_to_f64(
         solve._cov_sandwich_x(Vx, w_hi, M_x, AtWA_x,
                               jnp.asarray(s, jnp.float32),
-                              jnp.asarray(keep_H), coupled=True),
-        np.float64)
+                              jnp.asarray(keep_H), coupled=True))
     # f64 closed form: dC = H X H = V diag(keep / (w s)) V'
     dC_o = (Q * (keep_H / (w * s))) @ Q.T
     d = np.diag(dC)
@@ -90,14 +90,58 @@ def test_cov_sandwich_coupled_block():
     AtWA_x = tuple(map(jnp.asarray, xprec.split_f64_host(X_raw, 3)))
     w_hi = jnp.asarray(np.diag(M), jnp.float32)
     keep_H = np.abs(np.diag(M)) > n * solve.EPS64 * np.max(np.abs(w))
-    dC = np.asarray(
+    dC = cov_to_f64(
         solve._cov_sandwich_x(Vx, w_hi, M_x, AtWA_x,
                               jnp.asarray(s, jnp.float32),
-                              jnp.asarray(keep_H), coupled=True),
-        np.float64)
+                              jnp.asarray(keep_H), coupled=True))
     keep_o = np.abs(w) > n * solve.EPS64 * np.max(np.abs(w))
     dC_o = (Q * (keep_o / (w * s))) @ Q.T
     d, d_o = np.diag(dC), np.diag(dC_o)
     assert np.all(d > 0)
     rel = np.abs(d - d_o) / d_o
     assert np.max(rel) < 1e-2
+
+
+def test_cov_sandwich_field_variance_cancellation():
+    """The PRODUCT metric — predicted field variance diag(A dC A',
+    estimate.py:109) — survives the entry-basis cancellation only
+    because dC ships as a TWO-word expansion (round 4, PARITY_NOTES
+    #8): on real day records the quadratic form cancels ~11 decades
+    (gross sum|a_i a_j dC_ij| 1.5e31 vs net 1.3e20), so single-f32-word
+    entries (2^-24 per-entry noise) break it by ~300x even when every
+    internal stage is exact.  This fixture reproduces the regime:
+    test vectors almost orthogonal to the deep kept modes, whose 1/w
+    dominates dC's entries but cancels in the form."""
+    n = 48
+    Q, w, s = _graded_system(n=n, decades=14, s_exp=-67)
+    rng = np.random.default_rng(5)
+    # vectors dominated by well-determined modes, graded deep tails --
+    # the deep-mode 1/w contributions to a' dC a are ~1e-10 of the
+    # entry magnitudes they ride on (the measured day-record regime)
+    coef = rng.normal(size=(64, n)) * np.sqrt(w)[None, :]
+    At = coef @ Q.T  # [npts, n] test "design" rows
+    Vx = tuple(map(jnp.asarray, xprec.split_f64_host(Q, 2)))
+    M = np.diag(w)
+    M_x = tuple(map(jnp.asarray, xprec.split_f64_host(M, 3)))
+    X_raw = (Q * w) @ Q.T * s
+    AtWA_x = tuple(map(jnp.asarray, xprec.split_f64_host(X_raw, 3)))
+    w_hi = jnp.asarray(w, jnp.float32)
+    keep_H = np.abs(w) > n * solve.EPS64 * np.max(np.abs(w))
+    dCw = np.asarray(
+        solve._cov_sandwich_x(Vx, w_hi, M_x, AtWA_x,
+                              jnp.asarray(s, jnp.float32),
+                              jnp.asarray(keep_H), coupled=True))
+    assert dCw.shape == (2, n, n), "2-word stacked covariance"
+    dC = cov_to_f64(dCw)
+    dC_o = (Q * (keep_H / (w * s))) @ Q.T
+    va = np.einsum("pi,ij,pj->p", At, dC_o, At)
+    vt = np.einsum("pi,ij,pj->p", At, dC, At)
+    rel = np.abs(vt - va) / va
+    assert np.median(rel) < 1e-3, np.median(rel)
+    assert np.max(rel) < 1e-2, np.max(rel)
+    # the hi word ALONE (the round-3 representation) must visibly break
+    # the cancellation on this fixture — this is the regression guard
+    # that dC keeps shipping as two words
+    v1 = np.einsum("pi,ij,pj->p", At, dCw[0].astype(np.float64), At)
+    rel1 = np.abs(v1 - va) / va
+    assert np.median(rel1) > 10 * np.median(rel)

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from volumetricinterp_tpu.config import Config
 from volumetricinterp_tpu.models.sphharmlag import Model
-from volumetricinterp_tpu.ops.fit import fit_records
+from volumetricinterp_tpu.ops.fit import cov_to_f64, fit_records
 from volumetricinterp_tpu.ops.solve import suff_stats, sym_pinv_apply, final_solve
 from tests.oracle import oracle_eval_C, oracle_fit_record
 
@@ -146,6 +146,7 @@ def test_fit_records_match_oracle(model, design, records, method):
             manual_params=jnp.asarray(manual),
         )
     )
+    dC = cov_to_f64(dC)
 
     # The quirk-suppressed sin-columns and near-collinear harmonics
     # (docs/PARITY_NOTES.md #2) make RAW coefficient entries carry O(eps/w)

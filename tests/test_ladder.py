@@ -254,3 +254,91 @@ def test_ladder_chi2_matches_f64_cutoff(noise):
         assert abs(c2_l - c2_true) / abs(c2_true) < 3e-2, \
             (trial, c2_l, c2_true)
         assert abs(k_l - k_true) <= 4, (trial, k_l, k_true)
+
+
+# ---------------------------------------------------------------------------
+# cutoff-cluster resolving pass (round 4: solve._cluster_resolve_x)
+# ---------------------------------------------------------------------------
+
+def _wall_matrix(rng, n=96):
+    """Spectrum with a dense wall straddling the gelsd cutoff — the real
+    AMISR-basis regime the cluster pass targets (PARITY_NOTES #9a)."""
+    decades = np.concatenate([
+        np.linspace(0, -13, n - 40),
+        np.linspace(-14.2, -16.8, 40),
+    ])
+    w = 10.0 ** decades
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    X = (Q * w) @ Q.T
+    return 0.5 * (X + X.T)
+
+
+def _keep_counts(X, b):
+    """(keepC_f32pipeline, keepH_f32pipeline) via the anchored final
+    solve, plus the f64 truth."""
+    n = X.shape[0]
+    Xx = _as_x(X)
+    ub = _as_x(b, 2)
+    bt = _as_x(np.float64(10.0 * abs(b @ b)), 2)
+    R = np.eye(n) * float(np.mean(np.abs(np.diag(X))))
+    Rx = _as_x(R)
+    eig = solve.normalized_eigh_x(Xx)
+    anchor = solve.make_anchor_x(jnp.asarray(-60.0, jnp.float32), eig, Rx,
+                                 ub)
+    _, _, _, (kC, kH) = solve.final_solve_anchor_x(
+        anchor, jnp.asarray(-60.0, jnp.float32), Xx, ub, bt,
+        want_keep=True)
+    aw = np.abs(np.linalg.eigvalsh(X))
+    kC64 = int((aw > EPS64 * aw.max()).sum())
+    kH64 = int((aw > n * EPS64 * aw.max()).sum())
+    return int(kC), int(kH), kC64, kH64
+
+
+def test_cluster_resolve_tightens_keep_straddle():
+    """Under the QDWH noise hook, the Schur-complemented cluster window +
+    deflated estimates must pull the keep decisions well inside the raw
+    ladder's straddle (measured on this spectrum: raw 88/67 vs f64 78/56;
+    with the pass <= 83/59)."""
+    rng = np.random.default_rng(0)
+    X = _wall_matrix(rng)
+    b = rng.normal(size=X.shape[0])
+    solve._EIGH_EMULATED_RESID = 2e-5
+    kC, kH, kC64, kH64 = _keep_counts(X, b)
+    solve._CLUSTER = False
+    try:
+        kC0, kH0, _, _ = _keep_counts(X, b)
+    finally:
+        solve._CLUSTER = True
+    assert abs(kC - kC64) <= 5, (kC, kC64)
+    assert abs(kH - kH64) <= 4, (kH, kH64)
+    # strictly better than the raw ladder on both boundaries
+    assert abs(kC - kC64) < abs(kC0 - kC64), (kC, kC0, kC64)
+    assert abs(kH - kH64) < abs(kH0 - kH64), (kH, kH0, kH64)
+
+
+def test_cluster_resolve_f64_extraction_exact():
+    """The f64 version of the same extraction (no noise hook, f64 words)
+    must leave the keep decisions at the f64 oracle's (+-1: boundary
+    modes within eps flip between any two correct solvers)."""
+    rng = np.random.default_rng(1)
+    X = _wall_matrix(rng)
+    b = rng.normal(size=X.shape[0])
+    n = X.shape[0]
+    Xx = (jnp.asarray(X),)
+    ub = (jnp.asarray(b),)
+    bt = (jnp.asarray(np.float64(10.0 * abs(b @ b))),)
+    R = np.eye(n) * float(np.mean(np.abs(np.diag(X))))
+    eig = solve.normalized_eigh_x(Xx)
+    anchor = solve.make_anchor_x(jnp.asarray(-60.0, jnp.float64), eig,
+                                 (jnp.asarray(R),), ub)
+    _, _, _, (kC, kH) = solve.final_solve_anchor_x(
+        anchor, jnp.asarray(-60.0, jnp.float64), Xx, ub, bt,
+        want_keep=True)
+    Xa = X + 1e-60 * R
+    aw = np.abs(np.linalg.eigvalsh(Xa))
+    kC64 = int((aw > EPS64 * aw.max()).sum())
+    kH64 = int((aw > n * EPS64 * aw.max()).sum())
+    # +-1: a mode within eps of the boundary legitimately flips between
+    # any two correct f64 solvers (PARITY_NOTES #8)
+    assert abs(int(kC) - kC64) <= 1
+    assert abs(int(kH) - kH64) <= 1

@@ -474,7 +474,7 @@ class Interpolate:
                     if pad:
                         C, dC, c2, rp = (C[: e - s], dC[: e - s],
                                          c2[: e - s], rp[: e - s])
-                    return C, dC[:, iu[0], iu[1]], c2, rp
+                    return C, dC[:, :, iu[0], iu[1]], c2, rp
                 if mesh is not None:
                     from .parallel import fit_records_sharded
 
@@ -504,14 +504,20 @@ class Interpolate:
                 return C, tri, c2, rp
 
             # dC is symmetric, so only its upper triangle crosses the
-            # device->host link (the [chunk, nb, nb] covariance dominates
-            # transfer volume; halving it keeps the pipelined copies hidden
-            # under the next chunk's compute, incl. over the dev tunnel)
+            # device->host link (the [chunk, 2, nb, nb] covariance
+            # dominates transfer volume; halving it keeps the pipelined
+            # copies hidden under the next chunk's compute, incl. over
+            # the dev tunnel).  The leading 2 is the covariance's 2-word
+            # f32 expansion (ops/fit.cov_to_f64 semantics): the field
+            # variance diag(A dC A') cancels ~11 decades at physical
+            # scales and single-f32-word entries break it ~300x
+            # (PARITY_NOTES #8) — the words are combined into the host
+            # f64 dC_all on the worker thread below.
             iu = np.triu_indices(nb)
 
             @_jax.jit
             def _pack_tri(dC):
-                return dC[:, iu[0], iu[1]]
+                return dC[:, :, iu[0], iu[1]]
 
             # Covariance unpacking + per-chunk HDF5 flush run on a worker
             # THREAD: the main thread's per-chunk budget is consumed by the
@@ -537,8 +543,12 @@ class Interpolate:
                         return
                     try:
                         s, e, tri = job
-                        dC_all[s:e][:, iu[0], iu[1]] = tri
-                        dC_all[s:e][:, iu[1], iu[0]] = tri
+                        # combine the 2-word expansion in f64 (exact:
+                        # each word is an f32-representable value)
+                        t64 = (tri[:, 0].astype(np.float64)
+                               + tri[:, 1].astype(np.float64))
+                        dC_all[s:e][:, iu[0], iu[1]] = t64
+                        dC_all[s:e][:, iu[1], iu[0]] = t64
                         if writer is not None:
                             writer.write_chunk(s, utime[s:e], C_all[s:e],
                                                dC_all[s:e], c2_all[s:e],

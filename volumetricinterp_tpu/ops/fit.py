@@ -74,7 +74,8 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
     notes); parity receipts: tests/test_ladder.py
     ::test_boot_from_batch_mean_basis + the day-scale oracle compare.
 
-    Returns (C [nb], dC [nb, nb], chi2 [], log_alphas [nreg])."""
+    Returns (C [nb], dC [2, nb, nb] 2-word expansion — see
+    fit_records/cov_to_f64, chi2 [], log_alphas [nreg])."""
     dt = btWb_x[0].dtype
     nreg = reg_mats_x[0].shape[0]
     # In exact mode, AtWA's ladder decomposition is shared across every
@@ -137,7 +138,7 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
     bad = jnp.any(jnp.isnan(log_alphas)) if nreg > 0 else jnp.asarray(False)
     nb = C.shape[-1]
     C = jnp.where(bad, jnp.full((nb,), jnp.nan, dtype=C.dtype), C)
-    dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dtype=dC.dtype), dC)
+    dC = jnp.where(bad, jnp.full_like(dC, jnp.nan), dC)
     chi2 = jnp.where(bad, jnp.nan, chi2)
     return C, dC, chi2, log_alphas
 
@@ -149,7 +150,8 @@ def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
     expansions (pre-masked on host); mask: [npoints]; A_x: [npoints,
     nbasis] expansion; reg_mats_x: [nreg, nbasis, nbasis] expansion.
 
-    Returns (C [nb], dC [nb, nb], chi2 [], log_alphas [nreg])."""
+    Returns (C [nb], dC [2, nb, nb] 2-word expansion — see
+    fit_records/cov_to_f64, chi2 [], log_alphas [nreg])."""
     AtWA_x, AtWb_x, btWb_x, N = suff_stats_x(A_x, b_x, W_x, mask)
 
     nreg = reg_mats_x[0].shape[0]
@@ -189,7 +191,7 @@ def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
         bad = jnp.any(jnp.isnan(log_alphas))
         nb = C.shape[-1]
         C = jnp.where(bad, jnp.full((nb,), jnp.nan, dtype=C.dtype), C)
-        dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dtype=dC.dtype), dC)
+        dC = jnp.where(bad, jnp.full_like(dC, jnp.nan), dC)
         chi2 = jnp.where(bad, jnp.nan, chi2)
         return C, dC, chi2, log_alphas
 
@@ -387,9 +389,15 @@ def fit_records(values, errors, A, reg_mats, method: str = "chi2",
     [nreg, nbasis, nbasis]; manual_params: raw alphas (reference
     convention).
 
-    Returns (C [nrec, nb], dC [nrec, nb, nb], chi2 [nrec],
+    Returns (C [nrec, nb], dC [nrec, 2, nb, nb], chi2 [nrec],
     reg_params [nrec, nreg]) — reg_params in the reference's RAW alpha
     units (converted on host from the device-side log10 representation).
+    dC is a TWO-WORD f32 expansion stacked on axis -3 (lo word zero on
+    f64/CPU backends): the saved covariance must reach the file at f64
+    grade — its product metric, the predicted field variance
+    diag(A dC A') (estimate.py:109), cancels ~11 decades at physical
+    scales and single-f32-word entries break it by ~300x (PARITY_NOTES
+    #8).  Combine on host with ``cov_to_f64``.
 
     reg_taus: optional [nreg, nbasis] tau vectors for DATA-INFORMED
     regularization (penalty alpha (C'RC - 2 tau'C), a pull toward the
@@ -435,6 +443,19 @@ def fit_records(values, errors, A, reg_mats, method: str = "chi2",
         # (log_alphas_to_raw)
         return C, dC, chi2, log_alphas
     return C, dC, chi2, log_alphas_to_raw(log_alphas)
+
+
+def cov_to_f64(dC):
+    """Combine the pipeline's 2-word covariance ([..., 2, nb, nb]) into
+    one HOST f64 matrix [..., nb, nb], symmetrized.
+
+    The symmetrization lives here rather than on device because a
+    per-word device symmetrization would round at f32 — exactly the
+    per-entry noise the 2-word representation exists to avoid."""
+    a = np.asarray(dC)
+    d = a[..., 0, :, :].astype(np.float64) + a[..., 1, :, :].astype(
+        np.float64)
+    return 0.5 * (d + np.swapaxes(d, -1, -2))
 
 
 def log_alphas_to_raw(log_alphas):

@@ -37,8 +37,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import RE, WGS84_A, WGS84_E2
 
+import os as _os
+
 SUB = 8  # sublanes per point tile
-LANES = 1024  # lanes per point tile
+LANES = int(_os.environ.get("VITPU_GRID_LANES", "1024"))  # lanes per tile
+# (env-overridable for throughput sweeps: scripts/grid_lanes_sweep.py)
 TILE = SUB * LANES  # points per grid step
 
 

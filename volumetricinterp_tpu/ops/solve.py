@@ -245,10 +245,15 @@ def _promote_x(V, nwords=2):
     return (V,) + tuple(jnp.zeros_like(V) for _ in range(nwords - 1))
 
 
-_LADDER_MAXPQ = 6  # Ozaki chunk-product budget inside the ladder: floor
-# 2^-64 ~ 5e-20 of the normalized scale — 600x below the eps64 cutoff the
-# keep decision needs, and 33% fewer MXU products than the default 8
-_LADDER_MAXPQ_V = 5  # budget for BASIS-update products (V rotations,
+import os as _os0
+
+_LADDER_MAXPQ = int(_os0.environ.get("VITPU_LADDER_MAXPQ", "6"))
+# Ozaki chunk-product budget inside the ladder: floor 2^-64 ~ 5e-20 of
+# the normalized scale — 600x below the eps64 cutoff the keep decision
+# needs, and 33% fewer MXU products than the default 8.  Env-overridable
+# for day-scale A/Bs (scripts/ab_knobs.py).
+_LADDER_MAXPQ_V = int(_os0.environ.get("VITPU_LADDER_MAXPQ_V", "5"))
+# budget for BASIS-update products (V rotations,
 # orthonormalization): the basis itself only needs 48-bit fidelity (its
 # representation floor), so the 2^-56 truncation floor at maxpq=5 is
 # already below V's own storage error — ~25% fewer MXU products on the
@@ -987,10 +992,270 @@ def anchor_chi2_x(anchor, a_log, btWb_x, n_refine=2):
     return chi2
 
 
+_CLUSTER = _os.environ.get("VITPU_CLUSTER", "1") == "1"
+_CLUSTER_WIN = 64   # cutoff-cluster window width (positions): must cover
+# the dense near-cutoff wall real AMISR bases carry (~50 modes within two
+# decades of the gelsd cutoff, PARITY_NOTES #9a); value-mask padding
+# makes the static width safe on sparse spectra
+
+
+def _deflated_diag_x(M_x):
+    """Second-order-corrected eigenvalue estimates from the exact
+    projection M = V' X V:
+
+        w_i ~ M_ii - sum_{j != i} M_ij^2 / (M_jj - M_ii)
+
+    on reliably-separated pairs (>= ~3x value ratio, the FO gate's
+    criterion).  The ladder basis carries irreducible FAR POLLUTION —
+    each deep column overlaps every top mode at eta ~ 1e-7 (f32-eigh
+    rotation grade) — whose AGGREGATE biases deep Rayleigh diagonals UP
+    by sum_j eta^2 w_j ~ 90 modes x 1e-14 x w_top: measured 2-17x
+    inflation of near-cutoff values on a dense-wall spectrum under the
+    QDWH noise hook, straddling the keep decisions by ~10/96 modes.  No
+    rotation pass can remove it (the couplings hide below every block
+    eigh's noise floor), but the exact M RECORDS it — M_ij^2/(M_jj-M_ii)
+    IS the pollution term, so subtracting it recovers the true
+    eigenvalue to second order.  Near-pairs are skipped (their coupling
+    is rotation-equivalent mixing the coupled keep-solve absorbs, and
+    the denominator sign is unreliable there).
+
+    Precision: M_ij entries (~1e-10 of scale) square to ~1e-20-grade
+    corrections — f32 per-term accuracy leaves the correction's own
+    error ~1e-7 RELATIVE, far inside the tolerance of every consumer
+    (keep boundaries, covariance grading, solve seeds — all ~1e-3).
+    Returns a 2-word expansion whose value is hi-word (f32) grade."""
+    Mh = exp_hi(M_x)
+    d = jnp.diagonal(Mh, axis1=-2, axis2=-1)
+    n = d.shape[-1]
+    eye = jnp.eye(n, dtype=bool)
+    den = d[..., None, :] - d[..., :, None]  # den[i,j] = d_j - d_i
+    ad = jnp.abs(d)
+    reliable = jnp.abs(den) > 0.5 * (ad[..., None, :] + ad[..., :, None])
+    tiny = jnp.finfo(Mh.dtype).tiny
+    num = jnp.where(reliable & ~eye, Mh * Mh, 0.0)
+    corr = jnp.sum(num / jnp.where(jnp.abs(den) > tiny, den, 1.0),
+                   axis=-1)
+    # CLAMP into [0, d] (sign-respecting): the far-pollution bias is
+    # provably one-sided (a PSD Gram inflates |d|), so the correction may
+    # only SHRINK the value toward zero.  An overshoot past zero would
+    # hand downstream consumers (the 1/sqrt|w| covariance grading, the
+    # keep boundary placement) a re-inflated magnitude — measured on
+    # device as 1e4-grade field-variance errors before the clamp.
+    h = d - corr
+    h = jnp.clip(h, jnp.minimum(d, 0.0), jnp.maximum(d, 0.0))
+    h = jnp.where(jnp.abs(h) < tiny, jnp.sign(d) * tiny, h)
+    if _is_x64(M_x):
+        return (h,)
+    return (h, jnp.zeros_like(h))
+
+
+def _cg_mat_f32(A, B, n_iter=_N_CG):
+    """Multi-RHS variant of _cg_f32: fixed-iteration CG on a well-scaled
+    SPD f32 system, all RHS columns advanced together."""
+    tiny = jnp.finfo(B.dtype).tiny
+
+    def body(_, carry):
+        Z, R, P, rho = carry
+        AP = A @ P
+        denom = jnp.sum(P * AP, axis=-2)
+        alpha = rho / jnp.where(jnp.abs(denom) > tiny, denom, tiny)
+        Z = Z + alpha * P
+        R = R - alpha * AP
+        rho_new = jnp.sum(R * R, axis=-2)
+        beta = rho_new / jnp.where(rho > tiny, rho, tiny)
+        P = R + beta * P
+        return Z, R, P, rho_new
+
+    Z0 = jnp.zeros_like(B)
+    Z, _, _, _ = lax.fori_loop(
+        0, n_iter, body, (Z0, B, B, jnp.sum(B * B, axis=-2)))
+    return Z
+
+
+_CLUSTER_LEVELS = (1.0, 0.75, 0.5)  # mini-ladder block fractions of the
+# window: each level re-eighs the |diag|-smallest fraction of the
+# Schur-corrected block at its own scale (~4.5 decades per f32 eigh)
+
+
+def _cluster_resolve_x(Vx, M_x, vecs=(), mats=()):
+    """Cutoff-CLUSTER resolving pass (round 4, VERDICT r3 item 2).
+
+    Real AMISR-basis normal matrices carry a dense wall of modes around
+    the gelsd cutoff (PARITY_NOTES #9a) whose retention decides the
+    keep-count straddle and dominates the per-coefficient dC error
+    (PARITY_NOTES #8).  The ladder leaves two residuals there that bias
+    every deep Rayleigh estimate UP (measured 2-6x at the cutoff on a
+    dense-wall spectrum under the QDWH noise hook):
+
+      (1) aggregate FAR POLLUTION — each deep column overlaps every top
+          mode at eta ~ 1e-7 (f32-rotation grade), summing to
+          sum_j eta^2 w_j ~ O(cutoff) on the diagonal;
+      (2) within-wall O(1) mixing — the wall was last rotated by eighs
+          whose block tops sit decades above it.
+
+    The fix, validated step-by-step against f64 (scripts/probe_keep.py
+    receipts; the f64 version of this extraction reproduces the f64
+    oracle keep-set EXACTLY on the diagnostic spectrum):
+
+      a. sort by DEFLATED diagonal estimates (_deflated_diag_x — the
+         raw diagonal misplaces the boundary by its own bias);
+      b. take ONE static window of _CLUSTER_WIN positions covering both
+         cutoff boundaries (gelsd eps*max and pinv N*eps*max);
+      c. SCHUR-COMPLEMENT the modes ABOVE the window out of the
+         window's exact block: B_eff = B - M_bo M_oo^{-1} M_ob.  The
+         diagonal-inverse shortcut measures as NO-OP — the outside
+         modes are strongly coupled among themselves, so M_oo^{-1} must
+         be a real solve: masked diagonally-scaled f32 CG wrapped in
+         one exact-residual expansion refinement (same recipe as
+         _keep_solve_x);
+      d. run a small deflation mini-LADDER on B_eff (f32 eighs of the
+         |diag|-smallest fraction at its own scale, exact expansion
+         updates of B_eff, re-sorting between levels);
+      e. keep estimates = deflated diagonal of the final B_eff —
+         returned as ``w_est`` for the callers' keep decisions — and
+         the composite window rotation is applied to V, M, projected
+         vectors (u = V'rhs) and projected matrices (P = V'RV) through
+         exact skinny Ozaki products, so the coupled keep-solve and the
+         covariance sandwich operate in the resolved basis.
+
+    Returns (Vx, M_x, vecs, mats, w_est); w_est is a 2-word expansion
+    of per-mode eigenvalue estimates aligned with the returned
+    (permuted) column order, or None when the pass is skipped.  f64
+    (CPU oracle) inputs pass through untouched — the native eigh is
+    exact and M is already diagonal."""
+    if _is_x64(M_x) or not _CLUSTER:
+        return Vx, M_x, vecs, mats, None
+    n = M_x[0].shape[-1]
+    win = min(_CLUSTER_WIN, n)
+    d_hi = exp_hi(_deflated_diag_x(M_x))
+    order = jnp.argsort(jnp.abs(d_hi))
+    Vx = tuple(jnp.take(w, order, axis=-1) for w in Vx)
+    M_x = tuple(jnp.take(jnp.take(w, order, axis=-1), order, axis=-2)
+                for w in M_x)
+    vecs = tuple(tuple(jnp.take(w, order, axis=-1) for w in v)
+                 for v in vecs)
+    mats = tuple(tuple(jnp.take(jnp.take(w, order, axis=-1), order,
+                                axis=-2) for w in P) for P in mats)
+    aw = jnp.take(jnp.abs(d_hi), order)
+    wmax = jnp.max(aw)
+    tiny = jnp.finfo(wmax.dtype).tiny
+    ncut_C = jnp.sum(aw <= EPS64 * wmax).astype(jnp.int32)
+    ncut_H = jnp.sum(aw <= float(n) * EPS64 * wmax).astype(jnp.int32)
+    s0 = jnp.clip(ncut_H + 8 - win, 0, n - win)
+    s0 = jnp.minimum(s0, jnp.clip(ncut_C - 8, 0, n - win))
+    z0 = jnp.zeros((), jnp.int32)
+
+    # --- Schur complement of the modes above the window -----------------
+    idx = jnp.arange(n, dtype=jnp.int32)
+    outm = idx >= s0 + win
+    out2 = outm[..., :, None] & outm[..., None, :]
+    Mh = exp_hi(M_x)
+    draw = jnp.diagonal(Mh, axis1=-2, axis2=-1)
+    Dsc = jnp.where(outm,
+                    1.0 / jnp.sqrt(jnp.maximum(jnp.abs(draw), tiny)), 0.0)
+    eyeN = jnp.eye(n, dtype=Mh.dtype)
+    A32 = jnp.where(out2, Dsc[..., :, None] * Mh * Dsc[..., None, :], eyeN)
+    Moo_x = tuple(jnp.where(out2, w, 0.0) for w in M_x)
+    RHS_x = tuple(
+        jnp.where(outm[..., :, None],
+                  lax.dynamic_slice(w, (z0, s0), (n, win)), 0.0)
+        for w in M_x)
+    Z_x = None
+    r_x = RHS_x
+    for _ in range(2):  # f32 CG + one exact-residual refinement pass
+        y = _cg_mat_f32(A32, Dsc[..., :, None] * exp_hi(r_x))
+        dZ = Dsc[..., :, None] * y
+        Z_x = (dZ,) if Z_x is None else exp_renorm(list(Z_x) + [dZ],
+                                                   nwords=2)
+        Mz = ozaki_mm(Moo_x, Z_x, nwords=2, maxpq=_LADDER_MAXPQ)
+        r_x = exp_add(RHS_x, exp_neg(Mz), nwords=2)
+    Mbo_x = tuple(
+        jnp.where(outm[..., None, :],
+                  lax.dynamic_slice(w, (s0, z0), (win, n)), 0.0)
+        for w in M_x)
+    corr_x = ozaki_mm(Mbo_x, Z_x, nwords=3, maxpq=_LADDER_MAXPQ)
+    Mb_x = tuple(lax.dynamic_slice(w, (s0, s0), (win, win)) for w in M_x)
+    B_x = exp_add(Mb_x, exp_neg(corr_x), nwords=3)
+    B_x = tuple(0.5 * (w + jnp.swapaxes(w, -1, -2)) for w in B_x)
+
+    # --- mini deflation ladder on the Schur-corrected block -------------
+    Qw = jnp.eye(win, dtype=Mh.dtype)
+    for frac in _CLUSTER_LEVELS:
+        blk = max(1, int(round(win * frac)))
+        db = jnp.diagonal(exp_hi(B_x), axis1=-2, axis2=-1)
+        ob = jnp.argsort(jnp.abs(db))
+        B_x = tuple(jnp.take(jnp.take(w, ob, axis=-1), ob, axis=-2)
+                    for w in B_x)
+        Qw = jnp.take(Qw, ob, axis=-1)
+        Bb = tuple(w[..., :blk, :blk] for w in B_x)
+        dbb = jnp.abs(jnp.diagonal(exp_hi(Bb), axis1=-2, axis2=-1))
+        sc = xprec._pow2_scale(jnp.maximum(jnp.max(dbb), tiny)[None])[0]
+        _, Qb = _block_eigh_f32(exp_hi(exp_scale_pow2(Bb, 1.0 / sc)))
+        # columns then rows, exact
+        Bc = ozaki_mm(tuple(w[..., :, :blk] for w in B_x), (Qb,),
+                      nwords=3, maxpq=_LADDER_MAXPQ)
+        B_x = tuple(lax.dynamic_update_slice(w, c, (z0, z0))
+                    for w, c in zip(B_x, Bc))
+        Br = ozaki_mm((Qb.T,), tuple(w[..., :blk, :] for w in B_x),
+                      nwords=3, maxpq=_LADDER_MAXPQ)
+        B_x = tuple(lax.dynamic_update_slice(w, r, (z0, z0))
+                    for w, r in zip(B_x, Br))
+        Qw = Qw.at[..., :, :blk].set(Qw[..., :, :blk] @ Qb)
+    west_x = _deflated_diag_x(B_x)
+
+    # --- apply the composite window rotation to V, M, vecs, mats --------
+    Vs = tuple(lax.dynamic_slice(w, (z0, s0), (n, win)) for w in Vx)
+    Vw = ozaki_mm(Vs, (Qw,), nwords=2, maxpq=_LADDER_MAXPQ_V)
+    Vx = tuple(lax.dynamic_update_slice(w, vw, (z0, s0))
+               for w, vw in zip(Vx, Vw))
+    Ms = tuple(lax.dynamic_slice(w, (z0, s0), (n, win)) for w in M_x)
+    Mc = ozaki_mm(Ms, (Qw,), nwords=3, maxpq=_LADDER_MAXPQ)
+    M_x = tuple(lax.dynamic_update_slice(w, mc, (z0, s0))
+                for w, mc in zip(M_x, Mc))
+    Mt = tuple(lax.dynamic_slice(w, (s0, z0), (win, n)) for w in M_x)
+    Mr = ozaki_mm((Qw.T,), Mt, nwords=3, maxpq=_LADDER_MAXPQ)
+    M_x = tuple(lax.dynamic_update_slice(w, mr, (s0, z0))
+                for w, mr in zip(M_x, Mr))
+    new_vecs = []
+    for v in vecs:
+        us = tuple(lax.dynamic_slice(w, (s0,), (win,))[..., None]
+                   for w in v)
+        un = ozaki_mm((Qw.T,), us, nwords=2)
+        un = tuple(w[..., 0] for w in un)
+        new_vecs.append(tuple(lax.dynamic_update_slice(w, x, (s0,))
+                              for w, x in zip(v, un)))
+    vecs = tuple(new_vecs)
+    new_mats = []
+    for P in mats:
+        Ps = tuple(lax.dynamic_slice(w, (z0, s0), (n, win)) for w in P)
+        Pc = ozaki_mm(Ps, (Qw,), nwords=3, maxpq=_LADDER_MAXPQ)
+        P = tuple(lax.dynamic_update_slice(w, pc, (z0, s0))
+                  for w, pc in zip(P, Pc))
+        Pt = tuple(lax.dynamic_slice(w, (s0, z0), (win, n)) for w in P)
+        Pr = ozaki_mm((Qw.T,), Pt, nwords=3, maxpq=_LADDER_MAXPQ)
+        P = tuple(lax.dynamic_update_slice(w, pr, (s0, z0))
+                  for w, pr in zip(P, Pr))
+        new_mats.append(P)
+    mats = tuple(new_mats)
+
+    # keep estimates: deflated diagonal of the rotated M everywhere,
+    # overridden on the window by the mini-ladder's resolved values
+    w_est = _deflated_diag_x(M_x)
+    pad = len(w_est) - len(west_x)
+    west_full = tuple(west_x) + tuple(
+        jnp.zeros_like(west_x[0]) for _ in range(pad))
+    w_est = tuple(lax.dynamic_update_slice(w, e, (s0,))
+                  for w, e in zip(w_est, west_full[:len(w_est)]))
+    return Vx, M_x, vecs, mats, w_est
+
+
 def _cov_sandwich_x(Vx, w_hi, M_x, AtWA_x, s, keep_H, coupled=True):
     """Overflow-safe f32 covariance dC = H AtWA H, H = pinv-cutoff inverse
     of X = s (V M V') restricted to ``keep_H`` (reference semantics:
     interpolate.py:465-466 with scipy.linalg.pinv's N*eps cutoff).
+
+    Returns dC as a TWO-WORD f32 expansion stacked on axis -3
+    ([..., 2, n, n]); combine on host with ops.fit.cov_to_f64.
 
     The naive normalized-units sandwich Minv G Minv forms intermediates
     ~1/w^2 (up to 1e27 at the pinv cutoff) that OVERFLOW f32 after the
@@ -1040,32 +1305,69 @@ def _cov_sandwich_x(Vx, w_hi, M_x, AtWA_x, s, keep_H, coupled=True):
     else:
         sgn = jnp.where(keep_H, jnp.sign(w_hi), 0.0)
         Hs = (sgn[..., :, None] * Gs) * sgn[..., None, :]
-    B = V * y[..., None, :]
-    dC_n = B @ Hs @ jnp.swapaxes(B, -1, -2)
-    return mul_pow2i(dC_n, -_pow2_exp_i(s))
+    # The B-sandwich legs need EXACT ACCUMULATION (Ozaki), not exact
+    # factors, AND the result needs TWO f32 words: dC's entries span ~13
+    # decades (deep kept modes carry 1/w^2 up to 1e32 while
+    # well-determined pairs sit at 1e19), and the product metric — the
+    # predicted field variance diag(A dC A'), estimate.py:109 — cancels
+    # ~11 of them (measured on a real-basis day record: gross
+    # sum|a_i a_j dC_ij| 1.5e31 vs net 1.3e20).  Per-entry noise at
+    # 2^-24 (ONE f32 word — even with every internal stage exact)
+    # breaks that cancellation by 300x; at 2^-48 (two words) it
+    # contributes 4e-5.  Every internal FACTOR can stay plain f32:
+    # casting Gs, Msi, Hs, or B to f32 entries individually moves the
+    # field-variance error only to <= 3.4e-4 (round-4 stage bisect,
+    # /tmp receipts summarized in docs/PARITY_NOTES.md #8).  Hence: f32
+    # factors, Ozaki exact accumulation, 2-word result, combined to
+    # host f64 by ops.fit.cov_to_f64 (which also symmetrizes — a
+    # device-side per-word symmetrization would itself round at f32).
+    B_x = xprec.exp_mul_f32(Vx, y[..., None, :])
+    T_x = ozaki_mm(B_x, (Hs,), nwords=2)
+    dC_x = ozaki_mm(T_x, _vxT(B_x), nwords=2)
+    mj = -_pow2_exp_i(s)
+    return jnp.stack([mul_pow2i(w, mj) for w in dC_x], axis=-3)
 
 
-def final_solve_anchor_x(anchor, a_log, AtWA_x, AtWb_x, btWb_x):
+def final_solve_anchor_x(anchor, a_log, AtWA_x, AtWb_x, btWb_x,
+                         want_keep=False):
     """Coefficients, covariance and chi^2 at alpha = 10^a_log from the
     anchor (single-regularizer fast path of final_solve_x: same dual
     cutoffs, same cancellation-free chi^2 — but no fresh ladder; the
     search's last anchor is reused at its own root).  -inf encodes
-    alpha = 0 (too-smooth early exit)."""
+    alpha = 0 (too-smooth early exit).
+
+    ``want_keep``: additionally return (keep_C count, keep_H count) —
+    receipts instrumentation (scripts/probe_keep.py)."""
     m, k = pow10_split(a_log)
     M_x = _anchor_shift_M(anchor, m, k)
-    w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
+    # cutoff-cluster pass: resolve the near-cutoff wall at its own scale
+    # BEFORE the keep decisions (no-op on f64/CPU and on gated-sparse
+    # records; see _cluster_resolve_x)
+    vecs = (anchor["ub_x"],)
+    if anchor["ut_x"] is not None:
+        vecs = vecs + (anchor["ut_x"],)
+    Vx, M_x, vecs, (P_x,), w_est = _cluster_resolve_x(
+        anchor["Vx"], M_x, vecs=vecs, mats=(anchor["P_x"],))
+    ub_x = vecs[0]
+    ut_x = vecs[1] if anchor["ut_x"] is not None else None
+    if w_est is None:
+        w_x = tuple(jnp.diagonal(w, axis1=-2, axis2=-1) for w in M_x[:2])
+    else:
+        # keep decisions from the cluster pass's resolved estimates
+        # (Schur-corrected mini-ladder + far-pollution deflation); the
+        # coupled keep-solve and covariance sandwich keep the exact M
+        w_x = w_est
     w_hi = exp_hi(w_x)
     aw = jnp.abs(w_hi)
     wmax = jnp.max(aw)
     n = w_hi.shape[-1]
     keep_C = aw > EPS64 * wmax
     keep_H = aw > float(n) * EPS64 * wmax
-    u_x = anchor["ub_x"]
-    if anchor["ut_x"] is not None:
-        u_x = exp_add(u_x, exp_mul_split(anchor["ut_x"], m, k), nwords=2)
+    u_x = ub_x
+    if ut_x is not None:
+        u_x = exp_add(u_x, exp_mul_split(ut_x, m, k), nwords=2)
     z_x = _keep_solve_x(w_x, u_x, M_x, keep_C)
     s = anchor["s"]
-    Vx = anchor["Vx"]
     is64 = exp_hi(M_x).dtype == jnp.float64
     j = None if is64 else _pow2_exp_i(s)
     C_raw = exp_hi(ozaki_mm(Vx, tuple(z[..., None] for z in z_x),
@@ -1088,30 +1390,32 @@ def final_solve_anchor_x(anchor, a_log, AtWA_x, AtWb_x, btWb_x):
         VA = V.T if V.ndim == 2 else jnp.swapaxes(V, -1, -2)
         G = (VA @ (exp_hi(AtWA_x) / s)) @ V
         dC = (V @ (Minv @ G @ Minv) @ VA) / s
+        dC = jnp.stack([dC, jnp.zeros_like(dC)], axis=-3)
     else:
         dC = _cov_sandwich_x(Vx, w_hi, M_x, AtWA_x, s, keep_H,
                              coupled=True)
     # chi^2 = btWb - z'ub/s - alpha z'Pz/s^2 + alpha z'ut/s
-    S_x = xprec.exp_dot(anchor["ub_x"], z_x, nwords=2)
+    S_x = xprec.exp_dot(ub_x, z_x, nwords=2)
     S_x = exp_scale_pow2(S_x, 1.0 / s)
     diff = exp_add(btWb_x, exp_neg(S_x), nwords=2)
     chi2 = diff[0]
     for wd in diff[1:]:
         chi2 = chi2 + wd
-    Pz = exp_hi(ozaki_mm(anchor["P_x"], tuple(z[..., None] for z in z_x),
+    Pz = exp_hi(ozaki_mm(P_x, tuple(z[..., None] for z in z_x),
                          nwords=1))[..., 0]
     zPz = exp_hi(z_x) @ Pz
+    keep_counts = (jnp.sum(keep_C), jnp.sum(keep_H))
     if is64:
         a_raw = m * jnp.exp2(jnp.asarray(k, jnp.float64))
         chi2 = chi2 - a_raw * zPz / (s * s)
-        if anchor["ut_x"] is not None:
-            chi2 = chi2 + a_raw * (exp_hi(z_x) @ exp_hi(anchor["ut_x"])) / s
-        return C, dC, chi2
+        if ut_x is not None:
+            chi2 = chi2 + a_raw * (exp_hi(z_x) @ exp_hi(ut_x)) / s
+        return (C, dC, chi2, keep_counts) if want_keep else (C, dC, chi2)
     chi2 = chi2 - mul_pow2i(m * zPz, k - 2 * j)
-    if anchor["ut_x"] is not None:
-        zu = exp_hi(z_x) @ exp_hi(anchor["ut_x"])
+    if ut_x is not None:
+        zu = exp_hi(z_x) @ exp_hi(ut_x)
         chi2 = chi2 + mul_pow2i(m * zu, k - j)
-    return C, dC, chi2
+    return (C, dC, chi2, keep_counts) if want_keep else (C, dC, chi2)
 
 
 def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params,
@@ -1161,6 +1465,11 @@ def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params,
         w_x, Vx, s, M_x = normalized_eigh_boot_x(Xx, boot_Vx)
     else:
         w_x, Vx, s, M_x = normalized_eigh_x(Xx)
+    # cutoff-cluster pass before the keep decisions (no-op on f64; see
+    # _cluster_resolve_x); u is computed from the rotated basis below
+    Vx, M_x, _, _, w_est = _cluster_resolve_x(Vx, M_x)
+    if w_est is not None:
+        w_x = w_est
     n = w_x[0].shape[-1]
     u_x = ozaki_mm(_vxT(Vx), tuple(x[..., None] for x in rhs_x), nwords=2)
     u_x = tuple(w[..., 0] for w in u_x)
@@ -1188,6 +1497,7 @@ def final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x, reg_params,
         G = (VA @ V)               # V' AtWA V
         Hmid = (inv_w_H[:, None] * G) * inv_w_H[None, :]
         dC = (V @ Hmid @ V.T) / (s * s)
+        dC = jnp.stack([dC, jnp.zeros_like(dC)], axis=-3)
     else:
         dC = _cov_sandwich_x(Vx, w_hi, M_x, AtWA_x, s, keep_H,
                              coupled=True)

@@ -172,7 +172,7 @@ def _gcv_stage(b_x, W_x, mask, A_x, reg_x, mesh: Mesh, regparam_mode):
             bad = jnp.any(jnp.isnan(log_a))
             nb = C.shape[-1]
             C = jnp.where(bad, jnp.full((nb,), jnp.nan, C.dtype), C)
-            dC = jnp.where(bad, jnp.full((nb, nb), jnp.nan, dC.dtype), dC)
+            dC = jnp.where(bad, jnp.full_like(dC, jnp.nan), dC)
             chi2 = jnp.where(bad, jnp.nan, chi2)
             return C, dC, chi2, log_a
 
