@@ -64,7 +64,13 @@ def check_hull(hull_eqs, gdlat, gdlon, gdalt, tol=1e-8):
 def np_check_hull(hull_eqs, gdlat, gdlon, gdalt, tol=1e-8):
     """HOST numpy mirror of check_hull (same half-space test, exact f64
     WGS-84 transform) — used by Estimate's float64 point API so a single
-    hull mask costs no device round trip."""
+    hull mask costs no device round trip.
+
+    CHUNKED over points: the dense [npts, nfacet] distance matrix is
+    ~37 GB at keogram scale (33.5M points x ~140 facets, f64) — one
+    33.5M-point mask measured 935 s in page-cache churn when formed
+    whole (round 4, keogram-leg profile); 256k-point chunks keep the
+    intermediate ~300 MB and the same mask costs seconds."""
     gdlat = np.asarray(gdlat)
     shape = gdlat.shape
     x, y, z = coords.np_geodetic2ecef(
@@ -74,8 +80,15 @@ def np_check_hull(hull_eqs, gdlat, gdlon, gdalt, tol=1e-8):
     )
     P = np.stack([x, y, z], axis=-1)
     eqs = np.asarray(hull_eqs)
-    d = P @ eqs[:, :3].T + eqs[None, :, 3]
-    inside = np.max(d, axis=-1) <= tol * np.max(np.abs(eqs[:, 3]))
+    nT = eqs[:, :3].T
+    b = eqs[None, :, 3]
+    thr = tol * np.max(np.abs(eqs[:, 3]))
+    n = P.shape[0]
+    inside = np.empty(n, dtype=bool)
+    step = 1 << 18
+    for s in range(0, n, step):
+        d = P[s:s + step] @ nT + b
+        inside[s:s + step] = np.max(d, axis=-1) <= thr
     return inside.reshape(shape)
 
 
