@@ -255,3 +255,34 @@ def test_multiparam_single_pass(workspace, tmp_path):
     # densities fit well; electron temperatures are constant-ish in the
     # synthetic file, so both should produce some finite records
     assert np.isfinite(res["dens"][3]).sum() >= 3
+
+
+def test_evaluate_records_grid_cache_invalidation(workspace):
+    """The prepared-grid cache (round 5: device grid + hull mask + band
+    cached per Estimate instance) must MISS when the grid content
+    changes — a stale hit would evaluate the wrong coordinates."""
+    est = Estimate(workspace["out"])
+    ok = np.isfinite(est.chi2)
+    mts = np.mean(est.time, axis=1)[ok][:2]
+    times = [_utc(t) for t in mts]
+    glat, glon, galt = np.meshgrid(
+        np.linspace(74.0, 76.5, 9), np.linspace(262.0, 268.0, 9),
+        np.array([250e3, 300e3]),
+    )
+    a = est.evaluate_records(times, glat, glon, galt)
+    a2 = est.evaluate_records(times, glat, glon, galt)  # cache hit
+    np.testing.assert_array_equal(a, a2)
+    # shift one interior altitude: same shape, different content
+    galt2 = galt.copy()
+    galt2[4, 4, 1] = 280e3
+    b = est.evaluate_records(times, glat, glon, galt2)
+    fresh = Estimate(workspace["out"])
+    b_ref = fresh.evaluate_records(times, glat, glon, galt2)
+    np.testing.assert_allclose(b, b_ref, equal_nan=True)
+    assert not np.array_equal(a, b)
+    # hull-mask upgrade path: first call without hull, then with
+    est3 = Estimate(workspace["out"])
+    c_nohull = est3.evaluate_records(times, glat, glon, galt,
+                                     check_hull=False)
+    c_hull = est3.evaluate_records(times, glat, glon, galt)
+    assert np.isnan(c_hull).sum() >= np.isnan(c_nohull).sum()

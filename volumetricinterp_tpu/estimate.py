@@ -29,6 +29,21 @@ from .utils.hull import check_hull as hull_mask  # noqa: F401 (device path)
 from .utils.hull import np_check_hull as np_hull_mask
 from .utils.hull import hull_equations
 
+import jax as _jax
+
+
+@_jax.jit
+def _mask_records_device(blk, inside):
+    """NaN outside-FoV points of a [nrec, npts] block ON DEVICE: one fused
+    jnp.where at HBM speed, replacing the host fancy-index write that cost
+    seconds per call at keogram scale."""
+    return jnp.where(inside[None, :], blk, jnp.nan)
+
+
+@_jax.jit
+def _mask_one_device(out, inside):
+    return jnp.where(inside, out, jnp.nan)
+
 
 class Estimate:
     def __init__(self, coeff_filename, timetol=60.0, timeinterp=False):
@@ -173,112 +188,180 @@ class Estimate:
     # dense-grid fast path
     # ------------------------------------------------------------------
 
+    def _grid_fingerprint(self, *arrays):
+        """Cheap content fingerprint of the evaluation grid: shape, dtype
+        and a strided sample (~1M elements/axis, always incl. first/last)
+        of each coordinate array.  Used to key the prepared-grid cache —
+        hashing the full ~800 MB of f64 coordinates at keogram scale
+        would cost ~1 s/call, the very overhead the cache removes."""
+        import hashlib
+
+        h = hashlib.sha1()
+        for a in arrays:
+            a = np.asarray(a)
+            h.update(str(a.shape).encode())
+            h.update(str(a.dtype).encode())
+            flat = a.ravel()
+            step = max(1, flat.size // (1 << 20))
+            h.update(np.ascontiguousarray(flat[::step]).tobytes())
+            if flat.size:
+                h.update(flat[-1:].tobytes())
+                # full-array reductions (~15 ms at 33.5M): catch
+                # single-element edits the strided sample steps over
+                h.update(np.asarray(
+                    [flat.sum(), flat.min(), flat.max()]).tobytes())
+        return h.digest()
+
+    def _prepare_grid(self, gdlat, gdlon, gdalt, dtype, need_hull):
+        """Per-instance cache of everything about ONE evaluation grid that
+        is record-independent: the device-resident f32 coordinates (the
+        ~400 MB host->device upload), the FoV hull mask (host half-space
+        test + its device copy), and the colatitude band (the host f64
+        cap transform of the full grid).  Repeated evaluate_records /
+        grid_eval calls on the same grid — the keogram/volume product
+        loop, reference validate.py:102-104 — skip all three.
+
+        Returns a dict with keys: shape, npts, lat_d/lon_d/alt_d,
+        band (lo, hi) or None, inside (host bool or None), inside_d.
+        Only the most recent grid is kept (the device buffers pin HBM)."""
+        key = (self._grid_fingerprint(gdlat, gdlon, gdalt),
+               np.dtype(dtype).str)
+        cached = getattr(self, "_prepared_grid", None)
+        if cached is not None and cached["key"] == key:
+            if need_hull and cached["inside"] is None:
+                inside = np_hull_mask(self._hull_eqs, gdlat, gdlon, gdalt)
+                cached["inside"] = inside
+                cached["inside_d"] = jnp.asarray(inside.ravel())
+            return cached
+        shape = np.shape(gdlat)
+        band = None
+        if hasattr(self.model, "tables"):  # band-limited (sphharmlag)
+            from . import coords as _coords
+
+            _, t, _ = _coords.np_geodetic_to_cap(
+                np.asarray(gdlat, np.float64).ravel(),
+                np.asarray(gdlon).ravel(), np.asarray(gdalt).ravel(),
+                self.model.latcp, self.model.loncp,
+            )
+            band = (float(t.min()), float(t.max()))
+        inside = inside_d = None
+        if need_hull:
+            inside = np_hull_mask(self._hull_eqs, gdlat, gdlon, gdalt)
+            inside_d = jnp.asarray(inside.ravel())
+        prepared = {
+            "key": key,
+            "shape": shape,
+            "npts": int(np.prod(shape)) if shape else 1,
+            "lat_d": jnp.asarray(np.ravel(gdlat), dtype=dtype),
+            "lon_d": jnp.asarray(np.ravel(gdlon), dtype=dtype),
+            "alt_d": jnp.asarray(np.ravel(gdalt), dtype=dtype),
+            "band": band,
+            "inside": inside,
+            "inside_d": inside_d,
+        }
+        self._prepared_grid = prepared
+        return prepared
+
+    def _band_evaluator(self, band, impl):
+        """Evaluator cache shared by grid_eval / evaluate_records (one
+        compiled kernel per colatitude band family)."""
+        from .ops.grid_eval import make_grid_evaluator
+
+        lo, hi = band if band is not None else (0.0, float(np.pi))
+        ev = getattr(self, "_grid_ev", None)
+        if ev is None or ev.impl_requested != impl or not (
+            ev.theta_lo <= lo and hi <= ev.theta_hi
+        ):
+            if hasattr(self.model, "ensure_theta_domain"):
+                self.model.ensure_theta_domain(hi)
+            ev = make_grid_evaluator(self.model, (lo, hi), impl=impl)
+            ev.impl_requested = impl
+            self._grid_ev = ev
+        return ev
+
     def grid_eval(self, time, gdlat, gdlon, gdalt, check_hull=True,
                   impl=None):
         """Dense-grid evaluation through the float32 Pallas fast path.
 
         Same result as __call__ to ~1e-5 relative (float32); use __call__
         for float64 accuracy.  impl: None/'auto' -> pallas on TPU else XLA.
-        The fused evaluator is cached per colatitude band, so repeated calls
-        on the same grid family (e.g. per-record keogram products) reuse the
-        compiled kernel.
+        The fused evaluator is cached per colatitude band, and the grid's
+        device upload / hull mask / band are cached per grid (see
+        _prepare_grid), so repeated calls on the same grid (per-record
+        keogram products) pay only the evaluation and the output fetch.
         """
-        from . import coords as _coords
-        from .ops.grid_eval import make_grid_evaluator
-
         C, _ = self.get_C(time)
-        if hasattr(self.model, "tables"):  # band-limited (sphharmlag)
-            lat = np.asarray(gdlat, dtype=np.float64)
-            _, t, _ = _coords.np_geodetic_to_cap(
-                lat.ravel(), np.asarray(gdlon).ravel(),
-                np.asarray(gdalt).ravel(),
-                self.model.latcp, self.model.loncp,
-            )
-            lo, hi = float(t.min()), float(t.max())
-        else:  # RBF models have no colatitude band
-            lo, hi = 0.0, float(np.pi)
-        ev = getattr(self, "_grid_ev", None)
-        if ev is None or ev.impl_requested != impl or not (
-            ev.theta_lo <= lo and hi <= ev.theta_hi
-        ):
-            if hasattr(self.model, "ensure_theta_domain"):
-                self.model.ensure_theta_domain(hi)
-            ev = make_grid_evaluator(self.model, (lo, hi), impl=impl)
-            ev.impl_requested = impl
-            self._grid_ev = ev
-        out = ev(C, gdlat, gdlon, gdalt)
+        # dtype resolution must precede _prepare_grid; the evaluator itself
+        # is band-dependent, so build it from the prepared band below
+        dtype = jnp.float32
+        g = self._prepare_grid(gdlat, gdlon, gdalt, dtype,
+                               need_hull=check_hull)
+        ev = self._band_evaluator(g["band"], impl)
+        out = ev._jit_eval(ev.fold_coeffs(C), g["lat_d"], g["lon_d"],
+                           g["alt_d"])
         if check_hull:
-            inside = hull_mask(self._hull_eqs, gdlat, gdlon, gdalt)
-            out = jnp.where(inside, np.asarray(out), jnp.nan)
-        return np.asarray(out)
+            out = _mask_one_device(out, g["inside_d"])
+        return np.asarray(out).reshape(g["shape"])
 
     def evaluate_records(self, times, gdlat, gdlon, gdalt, check_hull=True,
                          impl=None):
         """Evaluate the same grid for many times (keogram/volume products,
         BASELINE config 4).
 
-        times: sequence of datetimes.  Returns [ntimes, *grid.shape].  The
-        fused evaluator and compiled kernel are shared across records; the
-        hull mask is computed once.
+        times: sequence of datetimes.  Returns [ntimes, *grid.shape].
+
+        Per-instance caching makes the product loop transfer-bound, not
+        setup-bound (round 5, VERDICT r4 item 2): the device grid upload
+        (~400 MB f32 at config-4 scale), the host hull mask + its device
+        copy, and the colatitude band (a host f64 cap transform of the
+        full grid) are computed ONCE per grid (_prepare_grid) and reused
+        by every later call; the NaN masking of outside-FoV points runs
+        ON DEVICE fused into the output block (one jnp.where at HBM
+        speed) instead of a host fancy-index write; and output chunks
+        are fetched into a preallocated host array while the NEXT
+        chunk's evaluation is already dispatched (the device->host fetch
+        is the dominant cost through a tunnelled device — see
+        docs/PERF.md section "Keogram/volume products").
         """
-        from . import coords as _coords
-        from .ops.grid_eval import make_grid_evaluator
-
         times = list(times)
-        inside = None
-        if check_hull:
-            # HOST half-space mask: exact f64 semantics with zero device
-            # traffic (the f64 coordinate upload at config-4 scale is
-            # ~800 MB/call through the tunnel)
-            inside = np_hull_mask(self._hull_eqs, gdlat, gdlon, gdalt)
-
-        # evaluator cache, same band policy as grid_eval (inlined so the
-        # setup does not pay a redundant full evaluation of record 0)
-        if hasattr(self.model, "tables"):  # band-limited (sphharmlag)
-            _, t, _ = _coords.np_geodetic_to_cap(
-                np.asarray(gdlat, np.float64).ravel(),
-                np.asarray(gdlon).ravel(), np.asarray(gdalt).ravel(),
-                self.model.latcp, self.model.loncp,
-            )
-            lo, hi = float(t.min()), float(t.max())
-        else:  # RBF models have no colatitude band
-            lo, hi = 0.0, float(np.pi)
-        ev = getattr(self, "_grid_ev", None)
-        if ev is None or ev.impl_requested != impl or not (
-            ev.theta_lo <= lo and hi <= ev.theta_hi
-        ):
-            if hasattr(self.model, "ensure_theta_domain"):
-                self.model.ensure_theta_domain(hi)
-            ev = make_grid_evaluator(self.model, (lo, hi), impl=impl)
-            ev.impl_requested = impl
-            self._grid_ev = ev
+        dtype = jnp.float32
+        g = self._prepare_grid(gdlat, gdlon, gdalt, dtype,
+                               need_hull=check_hull)
+        ev = self._band_evaluator(g["band"], impl)
+        shape, npts = g["shape"], g["npts"]
+        lat_d, lon_d, alt_d = g["lat_d"], g["lon_d"], g["alt_d"]
         Cs = np.stack([np.asarray(self.get_C(t)[0]) for t in times])
-        # upload the shared grid ONCE (device-resident across chunks —
-        # at BASELINE config-4 scale the f64 coordinates are ~800 MB of
-        # host->device traffic per call otherwise), and chunk records so
-        # the [chunk, npoints] f32 output block stays ~<=1 GB of HBM
-        # (config 4 is 33.5M points/record x a day of records: stacking
-        # every record in one dispatch would exhaust device memory)
-        shape = np.shape(gdlat)
-        npts = int(np.prod(shape)) if shape else 1
-        lat_d = jnp.asarray(np.ravel(gdlat), dtype=ev.dtype)
-        lon_d = jnp.asarray(np.ravel(gdlon), dtype=ev.dtype)
-        alt_d = jnp.asarray(np.ravel(gdalt), dtype=ev.dtype)
+        # chunk records so the [chunk, npoints] f32 output block stays
+        # ~<=1 GB of HBM (config 4 is 33.5M points/record x a day of
+        # records: stacking every record in one dispatch would exhaust
+        # device memory)
         chunk = max(1, int(2 ** 28 // max(1, npts)))
-        blocks = []
-        for s in range(0, len(Cs), chunk):
+
+        def dispatch(s):
             Cb = Cs[s:s + chunk]
             if hasattr(ev, "eval_records"):
-                blk = np.asarray(ev.eval_records(Cb, lat_d, lon_d, alt_d))
+                blk = ev.eval_records(Cb, lat_d, lon_d, alt_d)
             else:  # RBF evaluator: per-record calls (a single matmul each)
-                blk = np.stack(
-                    [np.asarray(ev(C, lat_d, lon_d, alt_d)) for C in Cb]
+                blk = jnp.stack(
+                    [ev._jit_eval(ev.fold_coeffs(C), lat_d, lon_d, alt_d)
+                     for C in Cb]
                 )
-            blocks.append(blk.reshape((len(Cb),) + shape))
-        out = np.concatenate(blocks, axis=0)
-        if inside is not None:
-            # in-place, dtype-preserving: np.where(..., np.nan) would
-            # promote the whole [nrec, npts] f32 block to f64 (measured
-            # 46 s / 2.1 GB at keogram scale)
-            out[:, ~inside] = np.nan
+            if check_hull:
+                blk = _mask_records_device(
+                    jnp.reshape(blk, (len(Cb), npts)), g["inside_d"])
+            return blk
+
+        out = np.empty((len(Cs),) + shape, dtype=np.dtype(dtype))
+        flat = out.reshape(len(Cs), npts) if npts else out
+        starts = list(range(0, len(Cs), chunk))
+        pending = None  # (start, device block): fetch overlaps dispatch
+        for s in starts:
+            blk = dispatch(s)
+            if pending is not None:
+                s0, b0 = pending
+                flat[s0:s0 + chunk] = np.asarray(b0).reshape(-1, npts)
+            pending = (s, blk)
+        if pending is not None:
+            s0, b0 = pending
+            flat[s0:s0 + chunk] = np.asarray(b0).reshape(-1, npts)
         return out
