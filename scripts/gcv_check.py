@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--nrec", type=int, default=64)
     ap.add_argument("--mode", default="exact",
                     help="regparam_mode for the TPU run: exact | fast")
+    ap.add_argument("--addendum", action="store_true",
+                    help="with --regret: per-record tail analysis "
+                         "vs the f64 objective GLOBAL minimum")
     ap.add_argument("--regret", action="store_true",
                     help="CPU: f64-objective REGRET of the cached TPU "
                          "alphas vs the oracle's (the honest GCV parity "
@@ -150,14 +153,65 @@ def run_regret(args):
         regret.append(f_t / f_o - 1.0)
         dla.append(abs(np.log10(rt[r]) - np.log10(ro[r])))
     regret = np.asarray(regret)
-    print(json.dumps({
+    rep = {
         "n": len(regret),
         "nonconverged_tpu": int(np.isnan(rt).sum()),
         "regret_median": float(np.median(regret)),
         "regret_p95": float(np.percentile(regret, 95)),
         "regret_max": float(np.max(regret)),
         "dlog10alpha_median": float(np.median(dla)),
-    }))
+    }
+    if args.addendum:
+        # RECORD-BY-RECORD ADDENDUM (VERDICT r3/r4 bar): for every record
+        # in the regret tail, grid-scan the f64 objective for its GLOBAL
+        # minimum and report BOTH stops' regret against it.  If the
+        # oracle's own NM stop carries comparable regret vs the true
+        # minimum, the tail is the reference NM's start-point artifact
+        # (it starts at 1e-20 on a decades-flat valley and stops on the
+        # first flat simplex), not a device-precision error.
+        grid = np.arange(-40.0, 0.0 + 1e-9, 0.2)
+        rows = []
+        for r in range(args.nrec):
+            if not (np.isfinite(rt[r]) and np.isfinite(ro[r])):
+                continue
+            mask = np.isfinite(values[r]).astype(float)
+            W = np.where(mask > 0, errors[r], 1.0) ** -2.0 * mask
+            b = np.where(mask > 0, values[r], 0.0)
+            a_ = (jnp.asarray(A), jnp.asarray(b), jnp.asarray(W),
+                  jnp.asarray(mask))
+            from volumetricinterp_tpu.ops.solve import suff_stats as _ss
+            AtWA, AtWb, btWb, N = _ss(*([a_[0]] + [a_[1], a_[2], a_[3]]))
+            args6 = (AtWA, AtWb, R) + a_
+            f_t = float(gcv_objective(np.log10(rt[r]), *args6))
+            f_o = float(gcv_objective(np.log10(ro[r]), *args6))
+            if f_t / f_o - 1.0 <= 0.05:
+                continue
+            fg = np.asarray([float(gcv_objective(g, *args6))
+                             for g in grid])
+            i = int(np.argmin(fg))
+            # golden refine one decade around the grid minimum
+            lo, hi = grid[max(i - 1, 0)], grid[min(i + 1, len(grid) - 1)]
+            for _ in range(25):
+                x1 = lo + 0.382 * (hi - lo)
+                x2 = hi - 0.382 * (hi - lo)
+                if float(gcv_objective(x1, *args6)) <= \
+                        float(gcv_objective(x2, *args6)):
+                    hi = x2
+                else:
+                    lo = x1
+            xm = 0.5 * (lo + hi)
+            fm = min(float(gcv_objective(xm, *args6)), fg[i])
+            rows.append({
+                "record": r,
+                "log10alpha_tpu": round(float(np.log10(rt[r])), 3),
+                "log10alpha_oracle": round(float(np.log10(ro[r])), 3),
+                "log10alpha_globalmin": round(float(xm), 3),
+                "regret_tpu_vs_oracle": round(f_t / f_o - 1.0, 4),
+                "regret_tpu_vs_globalmin": round(f_t / fm - 1.0, 4),
+                "regret_oracleNM_vs_globalmin": round(f_o / fm - 1.0, 4),
+            })
+        rep["tail_addendum"] = rows
+    print(json.dumps(rep))
 
 
 if __name__ == "__main__":

@@ -773,7 +773,9 @@ def gcv_reg_param_x(AtWA_x, AtWb_x, R_x, A_x, b, W, mask, eigA=None,
         # ~19 extra objective evals.  f64 backends keep the scipy-faithful
         # stop (the NM-vs-scipy oracle parity test pins it);
         # VITPU_GCV_POLISH=0 restores it everywhere.
-        offs = [GCV_POLISH_SPAN * (k - 3) / 3.0 for k in range(7)]
+        half = (GCV_POLISH_PROBES - 1) // 2
+        offs = [GCV_POLISH_SPAN * (k - half) / half
+                for k in range(GCV_POLISH_PROBES)]
         X = jnp.stack([x + jnp.asarray(o, dt) for o in offs])
         F = jnp.stack([obj(xi) for xi in X])
         i = jnp.argmin(F, axis=0)
@@ -802,7 +804,7 @@ def gcv_reg_param_x(AtWA_x, AtWb_x, R_x, A_x, b, W, mask, eigA=None,
         # on decades-flat valleys (e.g. the faithful stop-at--20 behavior,
         # PARITY_NOTES #6) the polish "improvement" is pure noise and the
         # NM stop point is kept
-        f_nm = F[3]  # offs[3] == 0.0 — the objective at the NM stop
+        f_nm = F[half]  # offs[half] == 0.0 — the objective at the NM stop
         improved = fb < f_nm - (NM_FATOL + 1e-4 * jnp.abs(f_nm))
         x = jnp.where(improved, xb, x)
         if GCV_RESCUE:
@@ -826,8 +828,18 @@ NM_MAXITER = 200  # scipy default N * 200 for N = 1
 NM_MAXFEV = 200  # scipy default N * 200 function evaluations for N = 1
 # f32-backend post-NM bracketed polish: golden-section rounds (0 = off,
 # scipy-faithful NM stop everywhere — the f64/CPU path always stops there)
-GCV_POLISH = int(os.environ.get("VITPU_GCV_POLISH", "6"))
+GCV_POLISH = int(os.environ.get("VITPU_GCV_POLISH", "8"))
 GCV_POLISH_SPAN = 1.5  # probe-grid half-width, decades around the NM stop
+# probe-grid size (odd; the center probe is the NM stop itself).  Round-5
+# A/B on the 64-record real-basis set (scripts/gcv_check.py --regret
+# --addendum): 7 probes / 6 golden rounds left regret median +9.5e-4 and
+# a 7-record tail; 13 probes / 8 rounds (0.25-decade spacing) moved the
+# median to -9.6e-5 — BETTER than the f64 oracle's own NM stop — and
+# retired one tail record, at 55.6 s warm wall for 64 records.  The
+# remaining 6-record tail is the f32 objective's own well displacement
+# near keep transitions, not search resolution (docs/PARITY_NOTES.md #6
+# round-5 addendum), so denser probing buys nothing further.
+GCV_POLISH_PROBES = int(os.environ.get("VITPU_GCV_POLISH_PROBES", "13"))
 GCV_RESCUE = os.environ.get("VITPU_GCV_RESCUE", "1") == "1"  # accept the
 # polish minimum when the f32 NM exhausts its budget (NaN-or-better)
 
