@@ -172,6 +172,17 @@ QUAD_MODE = gauss
     interp.calc_coeffs()
     interp.saveh5()
     full_day_s = time.perf_counter() - t0
+    # DAY-PATH OVERHEAD GATE (round 5, VERDICT r4 item 8): the day wall
+    # relative to the fit-leg rate measured in THIS process — immune to
+    # run-to-run tunnel variance, so a silent day-path regression (extra
+    # per-chunk fences, transfer bloat) can never again hide behind
+    # "the whole run was slow".  Healthy pipeline: ~1.1-1.3 (pipeline
+    # ends + h5 finalize); BENCH_r04's congested run read 2.59.
+    day_overhead = full_day_s * fits_per_s / 1000.0
+    if day_overhead > 1.6:
+        print(f"WARNING: day-path overhead ratio {day_overhead:.2f} > 1.6 "
+              "— per-chunk work is leaking onto the critical path "
+              "(see docs/PERF.md section 4)", flush=True)
     e2e_finite_frac = float(np.isfinite(interp.chi_sq).mean())
     # failed-record characterization against the CPU f64 oracle (the same
     # day fit by scripts/day_check.py --oracle: identical synth inputs by
@@ -227,6 +238,7 @@ QUAD_MODE = gauss
             "fit_finite_frac": fit_ok,
             "grid_eval_sharded_pts_per_s": round(pts_sharded, 1),
             "full_day_1000rec_e2e_s": round(full_day_s, 2),
+            "day_fit_overhead_ratio": round(day_overhead, 3),
             "e2e_finite_frac": round(e2e_finite_frac, 4),
             "e2e_failed": e2e_failed,
             "e2e_failed_vs_oracle": e2e_failed_vs_oracle,

@@ -48,7 +48,7 @@ def test_anchor_matches_ladder_f64():
     with jax.enable_x64(True):
         args = ((jnp.asarray(AtWA),), (jnp.asarray(AtWb),),
                 (jnp.asarray(btWb),), jnp.asarray(N), (jnp.asarray(R),))
-        root, anchor = regparam.chi2_reg_param(*args, want_anchor=True)
+        root, anchor, _fb = regparam.chi2_reg_param(*args, want_anchor=True)
         root0 = regparam.chi2_reg_param(*args)
         assert float(root) == float(root0)
         C, dC, chi2 = solve.final_solve_anchor_x(

@@ -90,6 +90,20 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
             eigA = solve.normalized_eigh_boot_x(AtWA_x, boot_VA)
         else:
             eigA = solve.normalized_eigh_x(AtWA_x)
+        # Cutoff-cluster pass on the FRESH decomposition (round 5): the
+        # chi2 search's floor evaluation, its X(1) endpoint, every
+        # anchor boot and the final solve all inherit this basis, so
+        # resolving the near-cutoff wall HERE fixes the whole chain —
+        # the round-4 pass only resolved the final solve, leaving the
+        # floor's keep decisions and stalled keep-solve to misplace the
+        # reference nu-ladder rung on coupled-wall records (record 456
+        # receipts, docs/PARITY_NOTES.md #4: rung sf=1.0 instead of
+        # 0.7, root 10 decades off, negative reported chi^2).  No-op on
+        # f64/CPU (the oracle path is untouched).
+        wA_r, VA_r, MA_r, w_est = (eigA[0], eigA[1], eigA[3], None)
+        VA_r, MA_r, _, _, w_est = solve._cluster_resolve_x(VA_r, MA_r)
+        if w_est is not None:
+            eigA = (w_est, VA_r, eigA[2], MA_r)
         boot_Vx = eigA[1]
     if nreg == 0:
         log_alphas = jnp.zeros((0,), dtype=dt)
@@ -118,7 +132,7 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
             # anchor doubles as the final solve's decomposition — the
             # final solve happens AT the search's root, inside the
             # anchor's trust region, so no further ladder is needed
-            root, final_anchor = search(0, want_anchor=True)
+            root, final_anchor, chi2_fallback = search(0, want_anchor=True)
             log_alphas = jnp.stack([root])
         else:
             log_alphas = jnp.stack([search(i) for i in range(nreg)])
@@ -129,6 +143,14 @@ def fit_from_stats_x(AtWA_x, AtWb_x, btWb_x, N, reg_mats_x, method: str,
     if final_anchor is not None:
         C, dC, chi2 = solve.final_solve_anchor_x(
             final_anchor, log_alphas[0], AtWA_x, AtWb_x, btWb_x)
+        # chi^2 reporting guard (round 5): on floor-failure-RESCUED
+        # records the exact machinery is untrusted end to end, and a
+        # NEGATIVE chi^2 is impossible for a weighted sum of squares on
+        # any record — both substitute the whitened chi^2 at the
+        # returned root (see regparam.chi2_reg_param, record-456
+        # receipts in docs/PARITY_NOTES.md #4)
+        use_fb, chi2_fb = chi2_fallback
+        chi2 = jnp.where(use_fb | (chi2 < 0.0), chi2_fb, chi2)
     else:
         C, dC, chi2 = final_solve_x(AtWA_x, AtWb_x, btWb_x, reg_mats_x,
                                     log_alphas, reg_taus_x=reg_taus_x,
