@@ -83,7 +83,7 @@ def run_leg(values, errors, A, reg_mats, tag, at_roots=None):
             R_x = tuple(wd[0] for wd in reg_mats_x)
             eigR = (tuple(wd[0] for wd in reg_eigR[0]), reg_eigR[1][0])
             eigA = solve.normalized_eigh_x(AtWA_x)
-            root, anchor = regparam.chi2_reg_param(
+            root, anchor, _fb = regparam.chi2_reg_param(
                 AtWA_x, AtWb_x, btWb_x, N, R_x, eigA=eigA, eigR=eigR,
                 want_anchor=True)
             C, dC, chi2, (kC, kH) = solve.final_solve_anchor_x(
