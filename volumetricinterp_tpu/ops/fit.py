@@ -197,6 +197,17 @@ def fit_one_record_x(b_x, W_x, mask, A_x, reg_mats_x, method: str,
                 for i in range(nreg)
             ])
         else:
+            # NOTE (round 5): cluster-resolving this fresh basis (as the
+            # chi2 search now does) was TRIED for the GCV regret tail
+            # and REJECTED: the resolved keep estimates RELOCATE the
+            # objective's keep-transition wells rather than pinning them
+            # to the f64 locations — the old 6-record tail healed
+            # (incl. the 18% worst record) but a different set entered,
+            # one at 62% regret (A/B receipts: scripts/gcv_check.py
+            # --regret --addendum, round-5 run).  The chi2 search keeps
+            # the resolve because its day-scale receipts improved 760x;
+            # GCV's valley geometry is knife-edged where chi2's rung
+            # logic is not.
             eigA = solve.normalized_eigh_x(AtWA_x)
             log_alphas = jnp.stack([
                 regparam.gcv_reg_param_x(
