@@ -85,22 +85,28 @@ def main():
     g = est._prepared_grid
     ev = est._grid_ev
     Cs = np.stack([np.asarray(est.get_C(tt)[0]) for tt in times])
+    from volumetricinterp_tpu.estimate import _mask_records_device
+
+    @jax.jit
+    def _head(x):  # jitted 1-element fence (eager slices through the
+        return x[:1, :1]   # tunnel are remote AOT compiles, seconds each)
 
     def dispatch_only():
         blk = ev.eval_records(Cs, g["lat_d"], g["lon_d"], g["alt_d"])
-        from volumetricinterp_tpu.estimate import _mask_records_device
         blk = _mask_records_device(jnp.reshape(blk, (len(Cs), npts)),
                                    g["inside_d"])
-        float(np.asarray(blk.ravel()[:1])[0])  # fence, no bulk fetch
+        float(np.asarray(_head(blk))[0, 0])  # fence, no bulk fetch
         return blk
 
+    blk = dispatch_only()  # warm _head's compile out of the timing
     blk, rep["eval_dispatch_s"] = t(dispatch_only)
     _, rep["output_fetch_s"] = t(np.asarray, blk)
     down_mb = n_total * 4 / 1e6
     rep["fetch_MBps"] = round(down_mb / rep["output_fetch_s"], 1)
     # the ceiling of ANY implementation on this link: the output block
-    # must cross device->host once
-    ceil = n_total / (rep["output_fetch_s"] + rep["eval_dispatch_s"])
+    # must cross device->host once (the evaluation itself overlaps it in
+    # the chunked pipeline, so it is not added)
+    ceil = n_total / rep["output_fetch_s"]
     rep["transfer_bound_ceiling_pts_per_s"] = round(ceil, 1)
     rep["warm_vs_ceiling"] = round(rep["warm_pts_per_s"] / ceil, 3)
     print(json.dumps(rep, indent=1))
