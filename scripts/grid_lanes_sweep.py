@@ -38,26 +38,30 @@ LONCP = 262
 QUAD_MODE = gauss
 ''')
 model = Model(cfg)
+from volumetricinterp_tpu import coords
 rng = np.random.default_rng(0)
 n = 512 * 512 * 32
 lat = rng.uniform(74.0, 82.0, n)
 lon = rng.uniform(252.0, 272.0, n)
 alt = rng.uniform(1.0e5, 6.0e5, n)
-C = rng.normal(size=model.nbasis)
-ev = make_grid_evaluator(model)
-f = jax.jit(lambda la, lo, al, c: ev(la, lo, al, c))
-la, lo, al = map(jnp.asarray, (lat.astype(np.float32),
-                               lon.astype(np.float32),
-                               alt.astype(np.float32)))
-c = jnp.asarray(C.astype(np.float32))
-out = f(la, lo, al, c)
-out.block_until_ready()
-# back-to-back dispatches, one value fetch (CLAUDE.md timing rule)
-REP = 12
+C = rng.normal(size=model.nbasis) * 1e11
+_, t, _ = coords.np_geodetic_to_cap(lat, lon, alt, model.latcp, model.loncp)
+ev = make_grid_evaluator(model, (float(t.min()), float(t.max())))
+ceff = ev.fold_coeffs(C)
+la, lo, al = (jnp.asarray(lat, ev.dtype), jnp.asarray(lon, ev.dtype),
+              jnp.asarray(alt, ev.dtype))
+out = ev._jit_eval(ceff, la, lo, al)
+float(np.asarray(out.ravel()[:1])[0])  # compile + warm fence
 t0 = time.perf_counter()
-outs = [f(la, lo, al, c) for _ in range(REP)]
-_ = np.asarray(outs[-1][:8])
-dt = time.perf_counter() - t0
+float(np.asarray(out.ravel()[:1])[0])
+rtt = time.perf_counter() - t0
+# back-to-back dispatches, one value fetch (CLAUDE.md timing rule)
+REP = 25
+t0 = time.perf_counter()
+for _ in range(REP):
+    out = ev._jit_eval(ceff, la, lo, al)
+float(np.asarray(out.ravel()[:1])[0])
+dt = time.perf_counter() - t0 - rtt
 print("RESULT", n * REP / dt)
 """
 
