@@ -190,6 +190,11 @@ QUAD_MODE = gauss
     # no-bracket failures: failures the oracle does NOT share are counted
     # separately.
     e2e_failed = int(np.isnan(interp.chi_sq).sum())
+    # negative chi^2 is impossible (weighted sum of squares): round 4
+    # shipped one such record per day undetected because only NaN counts
+    # were checked (docs/PARITY_NOTES.md #4, record 456) — count them
+    # forever
+    e2e_negative_chi2 = int((interp.chi_sq < 0).sum())
     e2e_failed_vs_oracle = None
     opath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tests", "oracle", "day1000_seed1_oracle.npz")
@@ -241,6 +246,7 @@ QUAD_MODE = gauss
             "day_fit_overhead_ratio": round(day_overhead, 3),
             "e2e_finite_frac": round(e2e_finite_frac, 4),
             "e2e_failed": e2e_failed,
+            "e2e_negative_chi2": e2e_negative_chi2,
             "e2e_failed_vs_oracle": e2e_failed_vs_oracle,
             "fit_batch": [nrec, npts],
             "keogram_pts_per_s": round(keogram_pts_per_s, 1),
