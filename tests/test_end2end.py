@@ -286,3 +286,25 @@ def test_evaluate_records_grid_cache_invalidation(workspace):
                                      check_hull=False)
     c_hull = est3.evaluate_records(times, glat, glon, galt)
     assert np.isnan(c_hull).sum() >= np.isnan(c_nohull).sum()
+
+
+def test_point_bucket_padding_is_exact(workspace, tmp_path):
+    """POINT_BUCKET pads the point axis with fully-masked points: the
+    padded fit must match the unpadded one inside the summation-order
+    envelope (zero-weight rows contribute exact zeros, but a different
+    point count changes XLA's reduction tree — the same ~1e-4 chi2
+    envelope as any two BLAS orders, PARITY_NOTES #7/#8)."""
+    out = str(tmp_path / "nopad.h5")
+    text = workspace["text"].replace(workspace["out"], out)
+    text += "\nPOINT_BUCKET = 0\n" if "[TPU]" in text else \
+        "\n[TPU]\nPOINT_BUCKET = 0\n"
+    interp0 = Interpolate(Config.from_text(text))
+    assert interp0.config.tpu.point_bucket == 0
+    interp0.calc_coeffs()
+    ref = workspace["interp"]  # fitted with the default bucket (480)
+    assert ref.config.tpu.point_bucket == 480
+    np.testing.assert_allclose(interp0.chi_sq, ref.chi_sq, rtol=1e-4,
+                               equal_nan=True)
+    np.testing.assert_allclose(interp0.Coeffs, ref.Coeffs, rtol=0,
+                               atol=1e-4 * np.nanmax(np.abs(ref.Coeffs)),
+                               equal_nan=True)

@@ -108,6 +108,16 @@ class TPUConfig:
     mesh_records: int = 0  # 0 = use all devices on the records axis
     mesh_points: int = 1
     chunk_size: int = 0  # records per incremental-flush chunk (0 = all)
+    # pad the measurement-point axis up to a multiple of this, with
+    # fully-masked (NaN-value, unit-error) points — the same weight-zero
+    # masking the NaN QC path uses; results agree inside the documented
+    # summation-order envelope (PARITY_NOTES #7/#8).  The
+    # fit graph is compiled per (chunk, npoints) shape and a cold remote
+    # compile costs minutes (docs/PERF.md section 3): bucketing lets
+    # every AMISR file geometry within a bucket share one compiled
+    # graph.  480 divides the production benchmark shape (2400), so the
+    # shipped default changes nothing there.  0 disables.
+    point_bucket: int = 480
 
 
 @dataclass
@@ -236,6 +246,7 @@ class Config:
             tpu.mesh_records = t.getint("MESH_RECORDS", tpu.mesh_records)
             tpu.mesh_points = t.getint("MESH_POINTS", tpu.mesh_points)
             tpu.chunk_size = t.getint("CHUNK_SIZE", tpu.chunk_size)
+            tpu.point_bucket = t.getint("POINT_BUCKET", tpu.point_bucket)
 
         return cls(fit=fit, model=model, validate=val, tpu=tpu,
                    raw_text=text, path=path)

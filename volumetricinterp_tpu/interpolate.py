@@ -388,6 +388,27 @@ class Interpolate:
         names = self.regularization_list
         nrec = value.shape[0]
         nb = self.model.nbasis
+        # POINT-AXIS BUCKETING (round 5): pad the measurement-point axis
+        # to a POINT_BUCKET multiple with fully-masked points (NaN value,
+        # unit error, zero design row) — exact zero contributions through
+        # the existing weight-zero QC masking (results agree inside the
+        # summation-order envelope, PARITY_NOTES #7/#8: a different
+        # point count changes XLA's reduction tree exactly like a
+        # different BLAS order), and every file geometry
+        # inside a bucket shares ONE compiled fit graph (a fresh
+        # (chunk, npoints) shape costs a minutes-long cold remote
+        # compile, docs/PERF.md section 3).  2400 (the receipts shape)
+        # is itself a bucket boundary at the default 480.
+        bucket = self.config.tpu.point_bucket
+        if bucket and nrec > 0:
+            ppad = (-value.shape[1]) % bucket
+            if ppad:
+                value = np.concatenate(
+                    [value, np.full((nrec, ppad), np.nan)], axis=1)
+                error = np.concatenate(
+                    [error, np.ones((nrec, ppad))], axis=1)
+                A_np = np.concatenate(
+                    [A_np, np.zeros((ppad, nb), dtype=A_np.dtype)], axis=0)
         # default chunk bounds peak memory of the batched alpha search and
         # sets the pipeline grain: smaller chunks shrink the un-overlapped
         # tail (the LAST chunk's fetch + unpack + flush hides under
