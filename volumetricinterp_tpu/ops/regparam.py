@@ -675,7 +675,8 @@ def _gcv_basis_bundle(Vx, AtWA_x, R_x, AtWb_x, A_x):
     return {"PA_x": PA_x, "PR_x": PR_x, "u_x": u_x, "T": T_hi}
 
 
-def gcv_objective_anchored(a_log, bundle, b, W, mask, axis_name=None):
+def gcv_objective_anchored(a_log, bundle, b, W, mask, axis_name=None,
+                           keep_resolve=False):
     """Sum of weighted squared LOO residuals at reg param 10^a_log from an
     exact basis bundle (production path, both backends).
 
@@ -711,7 +712,19 @@ def gcv_objective_anchored(a_log, bundle, b, W, mask, axis_name=None):
     # inflated estimates hid the keep-set change) — round 4, VERDICT r3
     # item 3 tail work
     w_hi = exp_hi(solve._deflated_diag_x(Mn_x))
-    aw = jnp.abs(w_hi)
+    if keep_resolve:
+        # cluster-grade keep estimates (round 5): the keep-KNEE location
+        # is what displaces the objective's sharp wells vs f64
+        # (PARITY_NOTES #6 addendum) — the Schur-complemented mini-ladder
+        # puts the wall's values within ~1e-4 of the true eigenvalues,
+        # aligning the knee.  ONLY the keep mask uses them: the sd
+        # grading below must stay consistent with the (unrotated) M the
+        # kept-block inverse actually acts on.
+        w_r = solve._cluster_keep_estimates_x(Mn_x)
+        keep_w = exp_hi(w_r) if w_r is not None else w_hi
+    else:
+        keep_w = w_hi
+    aw = jnp.abs(keep_w)
     keep = aw > solve.EPS64 * jnp.max(aw)
     is64 = Mh.dtype == jnp.float64
     n = Mh.shape[-1]
@@ -773,11 +786,13 @@ def gcv_reg_param_x(AtWA_x, AtWb_x, R_x, A_x, b, W, mask, eigA=None,
     thresh = (jnp.log2(sA) - jnp.log2(sR)) * jnp.asarray(0.30102999566398,
                                                          dt)
 
-    def obj(a_log):
+    def obj(a_log, keep_resolve=False):
         oA = gcv_objective_anchored(a_log, bun_A, b, W, mask,
-                                    axis_name=axis_name)
+                                    axis_name=axis_name,
+                                    keep_resolve=keep_resolve)
         oR = gcv_objective_anchored(a_log, bun_R, b, W, mask,
-                                    axis_name=axis_name)
+                                    axis_name=axis_name,
+                                    keep_resolve=keep_resolve)
         return jnp.where(a_log >= thresh, oR, oA)
 
     # f32 backends need a relative fatol component (see nelder_mead_1d);
@@ -800,8 +815,12 @@ def gcv_reg_param_x(AtWA_x, AtWb_x, R_x, A_x, b, W, mask, eigA=None,
         half = (GCV_POLISH_PROBES - 1) // 2
         offs = [GCV_POLISH_SPAN * (k - half) / half
                 for k in range(GCV_POLISH_PROBES)]
+        # polish evaluations optionally use cluster-RESOLVED keep
+        # estimates (VITPU_GCV_KEEP_RESOLVE; see gcv_objective_anchored)
+        pobj = (lambda a: obj(a, keep_resolve=True)) \
+            if GCV_KEEP_RESOLVE else obj
         X = jnp.stack([x + jnp.asarray(o, dt) for o in offs])
-        F = jnp.stack([obj(xi) for xi in X])
+        F = jnp.stack([pobj(xi) for xi in X])
         i = jnp.argmin(F, axis=0)
         xb = jnp.take_along_axis(X, i[None], axis=0)[0]
         fb = jnp.take_along_axis(F, i[None], axis=0)[0]
@@ -812,7 +831,7 @@ def gcv_reg_param_x(AtWA_x, AtWb_x, R_x, A_x, b, W, mask, eigA=None,
             lo, hi, xb, fb = carry
             x1 = lo + inv * (hi - lo)
             x2 = hi - inv * (hi - lo)
-            f1, f2 = obj(x1), obj(x2)
+            f1, f2 = pobj(x1), pobj(x2)
             lo = jnp.where(f1 <= f2, lo, x1)
             hi = jnp.where(f1 <= f2, x2, hi)
             xc = jnp.where(f1 <= f2, x1, x2)
@@ -853,6 +872,12 @@ NM_MAXFEV = 200  # scipy default N * 200 function evaluations for N = 1
 # f32-backend post-NM bracketed polish: golden-section rounds (0 = off,
 # scipy-faithful NM stop everywhere — the f64/CPU path always stops there)
 GCV_POLISH = int(os.environ.get("VITPU_GCV_POLISH", "8"))
+# polish evaluations with cluster-resolved keep estimates.  Round-5 A/B
+# on the 64-record real-basis set (PARITY_NOTES #6): regret tail 6 -> 4
+# records, p95 6.2% -> 5.3%, warm wall +1.6 s per 64 records (the
+# estimate passes hide inside the batch).  VITPU_GCV_KEEP_RESOLVE=0
+# restores the raw deflated-diagonal keep.
+GCV_KEEP_RESOLVE = os.environ.get("VITPU_GCV_KEEP_RESOLVE", "1") == "1"
 GCV_POLISH_SPAN = 1.5  # probe-grid half-width, decades around the NM stop
 # probe-grid size (odd; the center probe is the NM stop itself).  Round-5
 # A/B on the 64-record real-basis set (scripts/gcv_check.py --regret

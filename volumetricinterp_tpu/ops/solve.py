@@ -1249,6 +1249,112 @@ def _cluster_resolve_x(Vx, M_x, vecs=(), mats=()):
     return Vx, M_x, vecs, mats, w_est
 
 
+def _cluster_keep_estimates_x(M_x):
+    """ESTIMATE-ONLY sibling of _cluster_resolve_x: resolved near-cutoff
+    eigenvalue estimates, returned ALIGNED WITH THE ORIGINAL column
+    order, with the basis untouched.
+
+    Consumers that only need better KEEP decisions (the GCV objective's
+    keep-knee placement, PARITY_NOTES #6 round-5 addendum) get the
+    Schur-complemented mini-ladder values without the composite window
+    rotation — within-wall mode mixing is then absorbed by their coupled
+    kept-block inverses (the same Galerkin argument as _keep_solve_x).
+    Window estimates map back to pre-ladder slots through each final
+    column's DOMINANT |Qw| row (exact under pure permutations; within a
+    degenerate cluster the values are mask-equivalent anyway).
+
+    Returns a 2-word expansion, or None when the pass is disabled/f64."""
+    if _is_x64(M_x) or not _CLUSTER:
+        return None
+    n = M_x[0].shape[-1]
+    win = min(_CLUSTER_WIN, n)
+    d_x = _deflated_diag_x(M_x)
+    d_hi = exp_hi(d_x)
+    order = jnp.argsort(jnp.abs(d_hi))
+    M_x = tuple(jnp.take(jnp.take(w, order, axis=-1), order, axis=-2)
+                for w in M_x)
+    aw = jnp.take(jnp.abs(d_hi), order)
+    wmax = jnp.max(aw)
+    tiny = jnp.finfo(wmax.dtype).tiny
+    ncut_C = jnp.sum(aw <= EPS64 * wmax).astype(jnp.int32)
+    ncut_H = jnp.sum(aw <= float(n) * EPS64 * wmax).astype(jnp.int32)
+    s0 = jnp.clip(ncut_H + 8 - win, 0, n - win)
+    s0 = jnp.minimum(s0, jnp.clip(ncut_C - 8, 0, n - win))
+    z0 = jnp.zeros((), jnp.int32)
+
+    # Schur complement of the modes above the window (see the sibling)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    outm = idx >= s0 + win
+    out2 = outm[..., :, None] & outm[..., None, :]
+    Mh = exp_hi(M_x)
+    draw = jnp.diagonal(Mh, axis1=-2, axis2=-1)
+    Dsc = jnp.where(outm,
+                    1.0 / jnp.sqrt(jnp.maximum(jnp.abs(draw), tiny)), 0.0)
+    eyeN = jnp.eye(n, dtype=Mh.dtype)
+    A32 = jnp.where(out2, Dsc[..., :, None] * Mh * Dsc[..., None, :], eyeN)
+    Moo_x = tuple(jnp.where(out2, w, 0.0) for w in M_x)
+    RHS_x = tuple(
+        jnp.where(outm[..., :, None],
+                  lax.dynamic_slice(w, (z0, s0), (n, win)), 0.0)
+        for w in M_x)
+    Z_x = None
+    r_x = RHS_x
+    for _ in range(2):
+        y = _cg_mat_f32(A32, Dsc[..., :, None] * exp_hi(r_x))
+        dZ = Dsc[..., :, None] * y
+        Z_x = (dZ,) if Z_x is None else exp_renorm(list(Z_x) + [dZ],
+                                                   nwords=2)
+        Mz = ozaki_mm(Moo_x, Z_x, nwords=2, maxpq=_LADDER_MAXPQ)
+        r_x = exp_add(RHS_x, exp_neg(Mz), nwords=2)
+    Mbo_x = tuple(
+        jnp.where(outm[..., None, :],
+                  lax.dynamic_slice(w, (s0, z0), (win, n)), 0.0)
+        for w in M_x)
+    corr_x = ozaki_mm(Mbo_x, Z_x, nwords=3, maxpq=_LADDER_MAXPQ)
+    Mb_x = tuple(lax.dynamic_slice(w, (s0, s0), (win, win)) for w in M_x)
+    B_x = exp_add(Mb_x, exp_neg(corr_x), nwords=3)
+    B_x = tuple(0.5 * (w + jnp.swapaxes(w, -1, -2)) for w in B_x)
+
+    # mini deflation ladder (values only; Qw tracked for the map-back)
+    Qw = jnp.eye(win, dtype=Mh.dtype)
+    for frac in _CLUSTER_LEVELS:
+        blk = max(1, int(round(win * frac)))
+        db = jnp.diagonal(exp_hi(B_x), axis1=-2, axis2=-1)
+        ob = jnp.argsort(jnp.abs(db))
+        B_x = tuple(jnp.take(jnp.take(w, ob, axis=-1), ob, axis=-2)
+                    for w in B_x)
+        Qw = jnp.take(Qw, ob, axis=-1)
+        Bb = tuple(w[..., :blk, :blk] for w in B_x)
+        dbb = jnp.abs(jnp.diagonal(exp_hi(Bb), axis1=-2, axis2=-1))
+        sc = xprec._pow2_scale(jnp.maximum(jnp.max(dbb), tiny)[None])[0]
+        _, Qb = _block_eigh_f32(exp_hi(exp_scale_pow2(Bb, 1.0 / sc)))
+        Bc = ozaki_mm(tuple(w[..., :, :blk] for w in B_x), (Qb,),
+                      nwords=3, maxpq=_LADDER_MAXPQ)
+        B_x = tuple(lax.dynamic_update_slice(w, c, (z0, z0))
+                    for w, c in zip(B_x, Bc))
+        Br = ozaki_mm((Qb.T,), tuple(w[..., :blk, :] for w in B_x),
+                      nwords=3, maxpq=_LADDER_MAXPQ)
+        B_x = tuple(lax.dynamic_update_slice(w, r, (z0, z0))
+                    for w, r in zip(B_x, Br))
+        Qw = Qw.at[..., :, :blk].set(Qw[..., :, :blk] @ Qb)
+    west_x = _deflated_diag_x(B_x)
+    # pre-ladder window slot j's estimate: the final column whose Qw
+    # weight on slot j dominates
+    dom = jnp.argmax(jnp.abs(Qw), axis=-1)  # [win]: slot j -> final col
+    west_x = tuple(jnp.take(w, dom, axis=-1) for w in west_x)
+
+    # full-length estimates in SORTED order: outside = deflated diag,
+    # window slots overridden by the resolved values
+    base = tuple(jnp.take(w, order, axis=-1) for w in d_x)
+    pad = len(base) - len(west_x)
+    west_full = tuple(west_x) + tuple(
+        jnp.zeros_like(west_x[0]) for _ in range(pad))
+    w_sorted = tuple(lax.dynamic_update_slice(w, e, (s0,))
+                     for w, e in zip(base, west_full[:len(base)]))
+    inv = jnp.argsort(order)
+    return tuple(jnp.take(w, inv, axis=-1) for w in w_sorted)
+
+
 def _cov_sandwich_x(Vx, w_hi, M_x, AtWA_x, s, keep_H, coupled=True):
     """Overflow-safe f32 covariance dC = H AtWA H, H = pinv-cutoff inverse
     of X = s (V M V') restricted to ``keep_H`` (reference semantics:
