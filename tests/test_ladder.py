@@ -342,3 +342,38 @@ def test_cluster_resolve_f64_extraction_exact():
     # any two correct f64 solvers (PARITY_NOTES #8)
     assert abs(int(kC) - kC64) <= 1
     assert abs(int(kH) - kH64) <= 1
+
+
+def test_cluster_keep_estimates_align_cutoff_wall():
+    """_cluster_keep_estimates_x (round 5, the GCV polish's keep source):
+    on a dense near-cutoff wall under the emulated TPU eigh noise, the
+    resolved estimates place the gelsd keep-count closer to the true f64
+    count than the raw deflated diagonal, and return in ORIGINAL column
+    order (basis untouched)."""
+    solve._EIGH_EMULATED_RESID = 2e-5
+    rng = np.random.default_rng(7)
+    n = 144
+    # spectrum: well-separated top half + a dense wall straddling the
+    # gelsd cutoff (eps64 * max), the real-basis geometry of
+    # PARITY_NOTES #9a
+    w = 10.0 ** (-10.0 * rng.random(n // 2))
+    wall = EPS64 * 10.0 ** rng.uniform(-2.0, 2.0, n - n // 2)
+    w = np.concatenate([w, wall])
+    w[0] = 1.0
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    X = (Q * w) @ Q.T
+    w_true = np.linalg.eigvalsh(X)
+    true_keep = int((np.abs(w_true) > EPS64 * np.abs(w_true).max()).sum())
+
+    w_x, Vx, M_x = _ladder_eigh_x(_as_x(X))
+    raw = np.abs(_exp_val(solve._deflated_diag_x(M_x)))
+    est_x = solve._cluster_keep_estimates_x(M_x)
+    est = np.abs(_exp_val(est_x))
+    raw_keep = int((raw > EPS64 * raw.max()).sum())
+    est_keep = int((est > EPS64 * est.max()).sum())
+    assert abs(est_keep - true_keep) <= abs(raw_keep - true_keep)
+    assert abs(est_keep - true_keep) <= 2
+    # alignment: outside the resolving window the estimates ARE the
+    # deflated diagonal (same column order)
+    both_top = (raw > 1e-6 * raw.max())
+    np.testing.assert_allclose(est[both_top], raw[both_top], rtol=1e-6)
