@@ -332,23 +332,49 @@ class Estimate:
         lat_d, lon_d, alt_d = g["lat_d"], g["lon_d"], g["alt_d"]
         Cs = np.stack([np.asarray(self.get_C(t)[0]) for t in times])
         # chunk records so the [chunk, npoints] f32 output block stays
-        # ~<=1 GB of HBM (config 4 is 33.5M points/record x a day of
+        # ~<=0.5 GB of HBM: the fetch pipeline holds up to TWO blocks
+        # (pending + in-flight), and the round-5 bench caught a
+        # ResourceExhausted at a 1 GB budget with the rest of the bench's
+        # buffers resident (config 4 is 33.5M points/record x a day of
         # records: stacking every record in one dispatch would exhaust
-        # device memory)
-        chunk = max(1, int(2 ** 28 // max(1, npts)))
+        # device memory outright)
+        chunk = max(1, int(2 ** 27 // max(1, npts)))
+
+        # hull masking is FUSED into the jitted evaluation (sphharmlag
+        # batched path) so only ONE [chunk, npoints] output buffer ever
+        # materializes — a separate jnp.where held two 1 GB blocks alive
+        # at config-4 scale (the bench OOM above)
+        fused = getattr(self, "_jit_records_masked", None)
+        if fused is None or getattr(self, "_jit_records_masked_ev", None) \
+                is not ev:
+            if hasattr(ev, "_eval_records_flat"):
+                def _run(ceff_all, la, lo, al, inside):
+                    o = ev._eval_records_flat(ceff_all, la, lo, al)
+                    o = jnp.reshape(o, (o.shape[0], -1))
+                    if inside is not None:
+                        o = jnp.where(inside[None, :], o, jnp.nan)
+                    return o
+                fused = _jax.jit(_run, static_argnames=())
+            else:
+                fused = None
+            self._jit_records_masked = fused
+            self._jit_records_masked_ev = ev
 
         def dispatch(s):
             Cb = Cs[s:s + chunk]
-            if hasattr(ev, "eval_records"):
-                blk = ev.eval_records(Cb, lat_d, lon_d, alt_d)
-            else:  # RBF evaluator: per-record calls (a single matmul each)
-                blk = jnp.stack(
-                    [ev._jit_eval(ev.fold_coeffs(C), lat_d, lon_d, alt_d)
-                     for C in Cb]
-                )
+            if fused is not None:
+                ceff_all = jnp.stack(
+                    [ev.fold_coeffs(C) for C in np.asarray(Cb)])
+                return fused(ceff_all, lat_d, lon_d, alt_d,
+                             g["inside_d"] if check_hull else None)
+            # RBF evaluator: per-record calls (a single matmul each)
+            blk = jnp.stack(
+                [ev._jit_eval(ev.fold_coeffs(C), lat_d, lon_d, alt_d)
+                 for C in Cb]
+            )
+            blk = jnp.reshape(blk, (len(Cb), npts))
             if check_hull:
-                blk = _mask_records_device(
-                    jnp.reshape(blk, (len(Cb), npts)), g["inside_d"])
+                blk = _mask_records_device(blk, g["inside_d"])
             return blk
 
         out = np.empty((len(Cs),) + shape, dtype=np.dtype(dtype))
@@ -359,7 +385,9 @@ class Estimate:
             blk = dispatch(s)
             if pending is not None:
                 s0, b0 = pending
+                pending = None  # drop the tuple's ref so del frees HBM
                 flat[s0:s0 + chunk] = np.asarray(b0).reshape(-1, npts)
+                del b0
             pending = (s, blk)
         if pending is not None:
             s0, b0 = pending
