@@ -446,23 +446,31 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
         return jnp.where(width < 0.2, jnp.clip(r_last, lo, hi),
                          0.5 * (lo + hi))
 
-    # FLOOR-FAILURE RESCUE, part 2 (round 5): on rescued records the
-    # EXACT evaluations themselves are untrusted — the same stalled
-    # keep-solve that inflated the floor inflates every defect-loop
-    # evaluation, so the loop walks the root to where the INFLATED chi^2
-    # equals nu.  Measured on the bench day (record 456, reproducible):
-    # root -22.4 where the true f64 chi^2 is 1.16 nu — no reference
-    # nu-scale rung even corresponds — with the reported chi^2 coming
-    # back NEGATIVE (an impossible value for a weighted sum of squares;
-    # run-to-run it swung -289938 .. +634), while the reference root is
-    # -32.3 at chi^2 = 0.7 nu.  Take the WHITENED root directly on these
-    # records (bracket-complete and jitter-envelope-accurate; the d0 = 0
-    # seed already IS that root) and pin the endgame anchor AT it.
+    # FLOOR-FAILURE RESCUE, part 2 (round 5, f32 BACKENDS ONLY): on
+    # rescued records the EXACT evaluations themselves are untrusted —
+    # the same stalled keep-solve that inflated the floor inflates every
+    # defect-loop evaluation, so the loop walks the root to where the
+    # INFLATED chi^2 equals nu.  Measured on the bench day (record 456,
+    # reproducible): root -22.4 where the true f64 chi^2 is 1.16 nu —
+    # no reference nu-scale rung even corresponds — with the reported
+    # chi^2 coming back NEGATIVE (an impossible value for a weighted sum
+    # of squares; run-to-run it swung -289938 .. +634), while the
+    # reference root is -32.3 at chi^2 = 0.7 nu.  Take the WHITENED root
+    # directly on these records (bracket-complete and jitter-envelope-
+    # accurate; the d0 = 0 seed already IS that root) and pin the
+    # endgame anchor AT it.  On f64/CPU the exact evaluations ARE
+    # trustworthy even on rescued records, and the defect loop's exact
+    # root beats the whitened one (the whitened objective carries the
+    # fast envelope): measured on the production-order reference-compare
+    # record, the f64 whitened override moved chi2-at-root 2.7% -> 5.9%
+    # from the reference — hence the static gate.
+    exact_trustworthy = solve._is_x64(AtWA_x)  # static (dtype)
     r_fb = jnp.clip(
         _whitened_root_offset(lam, u, btWb_hi, nu, jnp.zeros_like(d0),
                               utau=utau),
         ALPHA_MIN, 0.0)
     r_fb = jnp.where(jnp.isnan(r_fb), -50.0, r_fb)
+    fb_root = use_fb & jnp.asarray(not exact_trustworthy)
 
     # ROOT-CENTERED endgame: one final re-anchor AT the converged
     # candidate, then N_POLISH cheap anchored rounds whose evaluations
@@ -472,7 +480,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
     # real day; polishing at the root recovers the all-ladder search's
     # placement).  The final solve reuses this anchor at delta ~ 0.
     r_cand = jnp.clip(_root_of(carry), ALPHA_MIN, 0.0)
-    r_cand = jnp.where(use_fb, r_fb, r_cand)
+    r_cand = jnp.where(fb_root, r_fb, r_cand)
     anchor = anchor_at(r_cand, tail=ENDGAME_TAIL)
     carry = (carry[0], carry[1], r_cand, carry[3], carry[4])
 
@@ -483,13 +491,16 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
 
     carry = lax.fori_loop(0, N_POLISH, phase3_body, carry)
     # rescued records: polish rounds are exact evaluations too — pinned
-    root = jnp.where(use_fb, r_fb, _root_of(carry))
+    # (f32 backends; f64 keeps the defect loop's exact root)
+    root = jnp.where(fb_root, r_fb, _root_of(carry))
 
     root = jnp.where(is_smooth, -jnp.inf, root)
     root = jnp.where(any_event, root, jnp.nan)
     # whitened chi^2 at the returned root: the reporting fallback for
-    # records whose exact final chi^2 is untrusted (rescued) or
-    # impossible (negative) — consumed by ops/fit.fit_from_stats_x
+    # records whose exact final chi^2 is untrusted (f32 rescued) or
+    # impossible (negative) — consumed by ops/fit.fit_from_stats_x.
+    # The rescued-substitution flag is fb_root (f32 only): on f64 the
+    # exact final chi^2 at the root is the better report.
     chi2_fb = fast_at(jnp.where(jnp.isfinite(root), root, -100.0))
     if not want_anchor:
         return root
@@ -502,7 +513,7 @@ def chi2_reg_param(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None, eigA=None,
                                  tau_x=tau_x)
     anchor_out = jax.tree_util.tree_map(
         lambda f, a: jnp.where(is_smooth, f, a), anchor_fresh, anchor)
-    return root, anchor_out, (use_fb, chi2_fb)
+    return root, anchor_out, (fb_root, chi2_fb)
 
 
 def chi2_reg_param_grid(AtWA_x, AtWb_x, btWb_x, N, R_x, tau_x=None):
